@@ -1,0 +1,41 @@
+"""Format conversion routines (host-side).
+
+See :mod:`spgpu_tpu.convert.host` for the NumPy implementations and the
+reference-parity notes (SURVEY §2.3).  When the optional C++ acceleration
+(:mod:`spgpu_tpu.native`) is built, the hot inner loops are dispatched
+there transparently.
+"""
+
+from spgpu_tpu.convert.host import (
+    bcoo_to_bhdia,
+    compute_dia_diagonals_count,
+    compute_ell_alloc_pitch,
+    compute_ell_row_lengths,
+    compute_hell_alloc_size,
+    coo_to_bcoo,
+    coo_to_dia,
+    coo_to_ell,
+    coo_to_hdia,
+    coo_to_hell,
+    dia_to_hdia,
+    ell_to_hell,
+    ell_to_oell,
+    get_hdia_hacks_count,
+)
+
+__all__ = [
+    "bcoo_to_bhdia",
+    "compute_dia_diagonals_count",
+    "compute_ell_alloc_pitch",
+    "compute_ell_row_lengths",
+    "compute_hell_alloc_size",
+    "coo_to_bcoo",
+    "coo_to_dia",
+    "coo_to_ell",
+    "coo_to_hdia",
+    "coo_to_hell",
+    "dia_to_hdia",
+    "ell_to_hell",
+    "ell_to_oell",
+    "get_hdia_hacks_count",
+]

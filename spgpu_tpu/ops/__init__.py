@@ -1,0 +1,119 @@
+"""Compute ops: SpMV/SpMM dispatchers, BLAS-1 suite, csput.
+
+Each SpMV has two implementations:
+
+* ``impl="xla"`` — portable jnp program (all dtypes, CPU+TPU); the
+  semantic reference.  :mod:`spgpu_tpu.ops.spmv_xla`.
+* ``impl="pallas"`` — hand-tiled TPU kernel for the hot formats/dtypes.
+  :mod:`spgpu_tpu.ops.pallas_kernels`.
+
+``impl="auto"`` picks Pallas on TPU when the (format, dtype) pair is
+covered, else XLA — the TPU analogue of the reference's per-matrix variant
+dispatcher (vanilla/prefetch/texcache selection by avg nnz/row and compute
+capability, ``ell_spmv_base.cuh:122-143``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from spgpu_tpu.formats import BcooMatrix, DiaMatrix, EllMatrix, HdiaMatrix, HellMatrix
+from spgpu_tpu.ops import blas1
+from spgpu_tpu.ops.blas1 import *  # noqa: F401,F403  (re-export BLAS-1 suite)
+from spgpu_tpu.ops.csput import ell_csput, hell_csput
+from spgpu_tpu.ops.spmv_xla import (
+    dia_spmv_xla,
+    ell_spmv_xla,
+    hdia_spmv_xla,
+    hell_spmv_xla,
+)
+
+__all__ = [
+    "ell_spmv", "hell_spmv", "dia_spmv", "hdia_spmv", "bcoo_spmv",
+    "ell_csput", "hell_csput",
+] + blas1.__all__
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _pallas_mod():
+    from spgpu_tpu.ops import pallas_kernels
+
+    return pallas_kernels
+
+
+def _dispatch(fmt: str, a, dtype) -> str:
+    if not _on_tpu():
+        return "xla"
+    try:
+        mod = _pallas_mod()
+    except Exception:
+        return "xla"
+    return "pallas" if mod.supports(fmt, a, dtype) else "xla"
+
+
+def ell_spmv(a: EllMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
+    """``z = beta*y + alpha*(A @ x)`` for ELL/OELL; ↔ ``spgpu?ellspmv``."""
+    if impl == "auto":
+        impl = _dispatch("ell", a, a.dtype)
+    if impl == "pallas":
+        return _pallas_mod().ell_spmv_pallas(a, x, alpha, beta, y)
+    return ell_spmv_xla(a, x, alpha, beta, y)
+
+
+def hell_spmv(a: HellMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
+    """``z = beta*y + alpha*(A @ x)`` for HELL; ↔ ``spgpu?hellspmv``."""
+    if impl == "auto":
+        impl = _dispatch("hell", a, a.dtype)
+    if impl == "pallas":
+        return _pallas_mod().hell_spmv_pallas(a, x, alpha, beta, y)
+    return hell_spmv_xla(a, x, alpha, beta, y)
+
+
+def dia_spmv(a: DiaMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
+    """``z = beta*y + alpha*(A @ x)`` for DIA; ↔ ``spgpu?diaspmv``."""
+    if impl == "auto":
+        impl = _dispatch("dia", a, a.dtype)
+    if impl == "pallas":
+        return _pallas_mod().dia_spmv_pallas(a, x, alpha, beta, y)
+    return dia_spmv_xla(a, x, alpha, beta, y)
+
+
+def hdia_spmv(a: HdiaMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
+    """``z = beta*y + alpha*(A @ x)`` for HDIA; ↔ ``spgpu?hdiaspmv``."""
+    if impl == "auto":
+        impl = _dispatch("hdia", a, a.dtype)
+    if impl == "pallas":
+        return _pallas_mod().hdia_spmv_pallas(a, x, alpha, beta, y)
+    return hdia_spmv_xla(a, x, alpha, beta, y)
+
+
+def bcoo_spmv(a: BcooMatrix, x, alpha=1.0, beta=0.0, y=None):
+    """Block-COO SpMV (TPU extension: the reference ships BCOO conversion
+    but no kernel — SURVEY §2.2).  Dense blocks ride the MXU via one
+    batched matmul + scatter-add over block rows."""
+    import jax.numpy as jnp
+
+    bc, br = a.block_cols, a.block_rows
+    nbc = -(-a.n_cols // bc)
+    nbr = -(-a.n_rows // br)
+    pad_c = nbc * bc - a.n_cols
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad_c)]) if pad_c else x
+    xb = xp.reshape(xp.shape[:-1] + (nbc, bc))
+    xg = xb[..., a.block_col_idx, :]  # (..., n_blocks, bc)
+    prod = jnp.einsum("brc,...bc->...br", a.blocks, xg)  # (..., n_blocks, br)
+    from spgpu_tpu.ops.spmv_xla import _unfuse_on_tpu
+
+    prod = jnp.moveaxis(_unfuse_on_tpu(prod), -2, 0)
+    zb = jax.ops.segment_sum(prod, a.block_row_idx, num_segments=nbr)
+    acc = jnp.moveaxis(zb, 0, -2).reshape(x.shape[:-1] + (nbr * br,))[..., : a.n_rows]
+    if isinstance(beta, (int, float)) and beta == 0 or y is None:
+        return alpha * acc
+    return alpha * acc + beta * y

@@ -1,0 +1,31 @@
+"""Distributed layer: mesh row-partitioning, halo exchange, sharded SpMV.
+
+The reference has **no** multi-GPU or multi-node support (SURVEY §2.6
+absence list) — halo exchange for distributed SpMV was delegated to the
+caller (PSBLAS + MPI) using the device-side ``gath``/``scat`` pack/unpack
+primitives.  This package is the TPU-native first-class replacement:
+``jax.sharding.Mesh`` + ``shard_map``, halo plans built at conversion
+time, x exchanged over ICI collectives, reductions via ``psum``.
+"""
+
+__all__ = []
+
+try:  # populated in M4; keep the package importable while building up
+    from spgpu_tpu.parallel.partition import (  # noqa: F401
+        PartitionedMatrix,
+        make_row_mesh,
+        partition_coo_rows,
+    )
+    from spgpu_tpu.parallel.dist_spmv import dist_spmv, make_dist_matvec  # noqa: F401
+    from spgpu_tpu.parallel.dist_solve import dist_cg  # noqa: F401
+
+    __all__ += [
+        "PartitionedMatrix",
+        "make_row_mesh",
+        "partition_coo_rows",
+        "dist_spmv",
+        "make_dist_matvec",
+        "dist_cg",
+    ]
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,3 @@
+from spgpu_tpu.solvers.cg import CgResult, bicgstab, cg, jacobi_preconditioner
+
+__all__ = ["CgResult", "bicgstab", "cg", "jacobi_preconditioner"]

@@ -1,0 +1,101 @@
+"""Matrix Market I/O: banner parsing, field/symmetry handling, symmetric
+unfolding with explicit-zero dropping (mmutils.hpp parity), round-trip."""
+
+import io
+
+import numpy as np
+
+from spgpu_tpu.io import read_mm, read_mm_properties, write_mm
+from spgpu_tpu.formats import CooMatrix
+from spgpu_tpu.utils import laplacian_2d
+
+GENERAL = """%%MatrixMarket matrix coordinate real general
+% comment line
+3 4 5
+1 1 1.5
+2 2 -2.0
+3 1 3.0
+3 4 4.25
+1 3 0.5
+"""
+
+SYMMETRIC = """%%MatrixMarket matrix coordinate real symmetric
+3 3 4
+1 1 2.0
+2 1 -1.0
+3 2 0.0
+3 3 5.0
+"""
+
+PATTERN = """%%MatrixMarket matrix coordinate pattern general
+2 2 2
+1 1
+2 2
+"""
+
+COMPLEX_H = """%%MatrixMarket matrix coordinate complex hermitian
+2 2 2
+1 1 1.0 0.0
+2 1 2.0 3.0
+"""
+
+ARRAY = """%%MatrixMarket matrix array real general
+2 2
+1.0
+2.0
+3.0
+4.0
+"""
+
+
+def test_properties():
+    p = read_mm_properties(io.StringIO(GENERAL))
+    assert (p.format, p.field, p.symmetry) == ("coordinate", "real", "general")
+    assert (p.n_rows, p.n_cols, p.nnz) == (3, 4, 5)
+
+
+def test_general():
+    a = read_mm(io.StringIO(GENERAL))
+    d = a.to_dense()
+    assert d[0, 0] == 1.5 and d[2, 3] == 4.25 and d[0, 2] == 0.5
+    assert a.nnz == 5
+
+
+def test_symmetric_unfold_drops_zeros():
+    a = read_mm(io.StringIO(SYMMETRIC))
+    d = a.to_dense()
+    # off-diagonal mirrored, explicit zero (3,2) dropped before unfold
+    assert d[0, 1] == -1.0 and d[1, 0] == -1.0
+    assert d[2, 1] == 0.0 and d[1, 2] == 0.0
+    assert a.nnz == 4  # 3 kept + 1 mirror
+
+
+def test_symmetric_no_unfold():
+    a = read_mm(io.StringIO(SYMMETRIC), unfold_symmetric=False)
+    assert a.to_dense()[0, 1] == 0.0
+
+
+def test_pattern():
+    a = read_mm(io.StringIO(PATTERN))
+    np.testing.assert_allclose(a.to_dense(), np.eye(2))
+
+
+def test_complex_hermitian():
+    a = read_mm(io.StringIO(COMPLEX_H))
+    d = a.to_dense()
+    assert d[1, 0] == 2.0 + 3.0j and d[0, 1] == 2.0 - 3.0j
+
+
+def test_array_format():
+    a = read_mm(io.StringIO(ARRAY))
+    np.testing.assert_allclose(a.to_dense(), [[1.0, 3.0], [2.0, 4.0]])
+
+
+def test_roundtrip(tmp_path):
+    coo = laplacian_2d(5, 4)
+    path = tmp_path / "lap.mtx"
+    write_mm(path, coo)
+    back = read_mm(path)
+    np.testing.assert_allclose(back.to_dense(), coo.to_dense())
+    p = read_mm_properties(path)
+    assert p.nnz == coo.nnz

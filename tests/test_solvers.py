@@ -1,0 +1,65 @@
+"""Single-device CG/BiCGSTAB on the BASELINE Laplacian config — the
+minimum end-to-end slice of SURVEY §7 M1: format → SpMV → device-resident
+Krylov loop matches the dense solve within fp64 tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spgpu_tpu import convert, ops, solvers
+from spgpu_tpu.utils import laplacian_2d, random_banded
+
+
+def test_cg_laplacian_ell():
+    coo = laplacian_2d(16, 16)
+    ell = convert.coo_to_ell(coo)
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(coo.n_rows)
+    b = jnp.asarray(coo.spmv(x_true))
+
+    res = solvers.cg(lambda v: ops.ell_spmv(ell, v), b, tol=1e-12, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-7, atol=1e-8)
+
+
+def test_cg_jacobi_preconditioned_hell():
+    coo = laplacian_2d(20, 12)
+    hell = convert.coo_to_hell(coo)
+    m_inv = solvers.jacobi_preconditioner(coo)
+    rng = np.random.default_rng(1)
+    x_true = rng.standard_normal(coo.n_rows)
+    b = jnp.asarray(coo.spmv(x_true))
+
+    plain = solvers.cg(lambda v: ops.hell_spmv(hell, v), b, tol=1e-12, maxiter=2000)
+    prec = solvers.cg(
+        lambda v: ops.hell_spmv(hell, v), b, tol=1e-12, maxiter=2000, m_inv=m_inv
+    )
+    assert bool(prec.converged)
+    np.testing.assert_allclose(np.asarray(prec.x), x_true, rtol=1e-7, atol=1e-8)
+    assert int(prec.iterations) <= int(plain.iterations) + 5
+
+
+def test_cg_fully_jitted_hdia():
+    coo = laplacian_2d(12, 12)
+    hdia = convert.coo_to_hdia(coo)
+    b = jnp.ones(coo.n_rows)
+
+    @jax.jit
+    def solve(a, b):
+        return solvers.cg(lambda v: ops.hdia_spmv(a, v), b, tol=1e-11, maxiter=1000)
+
+    res = solve(hdia, b)
+    assert bool(res.converged)
+    ref = np.linalg.solve(coo.to_dense(), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), ref, rtol=1e-6, atol=1e-8)
+
+
+def test_bicgstab_nonsymmetric():
+    coo = random_banded(400, bands=5, wander=0, seed=9)  # diag-dominant, nonsym
+    dia = convert.coo_to_dia(coo)
+    rng = np.random.default_rng(2)
+    x_true = rng.standard_normal(coo.n_rows)
+    b = jnp.asarray(coo.spmv(x_true))
+    res = solvers.bicgstab(lambda v: ops.dia_spmv(dia, v), b, tol=1e-12, maxiter=4000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6, atol=1e-7)
