@@ -17,7 +17,7 @@ try:  # populated in M4; keep the package importable while building up
         partition_coo_rows,
     )
     from spgpu_tpu.parallel.dist_spmv import dist_spmv, make_dist_matvec  # noqa: F401
-    from spgpu_tpu.parallel.dist_solve import dist_cg  # noqa: F401
+    from spgpu_tpu.parallel.dist_solve import dist_bicgstab, dist_cg  # noqa: F401
 
     __all__ += [
         "PartitionedMatrix",
@@ -26,6 +26,7 @@ try:  # populated in M4; keep the package importable while building up
         "dist_spmv",
         "make_dist_matvec",
         "dist_cg",
+        "dist_bicgstab",
     ]
 except ImportError:  # pragma: no cover
     pass

@@ -1,0 +1,100 @@
+"""Sharded SpMV: halo all-to-all overlapped with interior compute.
+
+TPU-native replacement for the distributed SpMV the reference delegated
+to its PSBLAS/MPI callers (SURVEY §2.6): ``shard_map`` over a 1-D
+``Mesh``, one ``jax.lax.all_to_all`` per SpMV for the halo entries of
+``x``, and the interior product computed from purely local data so XLA
+can overlap it with the collective (the interior slab has no data
+dependency on the received halo — the scheduling analogue of the
+interior/boundary row split sketched in SURVEY §7).
+
+The device-side pack primitive ``x_local[send_idx]`` is this layer's
+``gath`` (``gath_base.cuh:32-85``); the unpack is implicit in the
+exterior slab's column indices, which point straight into the received
+``(P·K,)`` halo buffer — no scatter needed.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spgpu_tpu.ops.spmv_xla import hell_spmv_xla
+from spgpu_tpu.parallel.partition import PartitionedMatrix, pad_vector
+
+__all__ = ["dist_spmv", "make_dist_matvec", "shard_partitioned", "local_matvec"]
+
+
+def _leaf_spec(pm: PartitionedMatrix, axis: str):
+    """PartitionSpec pytree: every array leaf sharded on its shard axis."""
+    return jax.tree.map(lambda _: P(axis), pm)
+
+
+def shard_partitioned(pm: PartitionedMatrix, mesh: Mesh, axis: str = "rows"):
+    """Place every leaf of ``pm`` with its shard axis on the mesh axis."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), pm
+    )
+
+
+def local_matvec(pm: PartitionedMatrix, axis: str, lpm, x_local):
+    """Shard-local SpMV body (runs inside ``shard_map``).
+
+    ``lpm`` is the shard's block of the PartitionedMatrix pytree (leading
+    shard axis of size 1); ``x_local`` is the shard's ``(1, chunk)`` block
+    of x.  Returns the local ``(1, chunk)`` block of ``A @ x``.
+    """
+    xl = x_local[0]
+    # halo exchange: pack (gath), all-to-all over ICI, flat receive buffer
+    send_buf = xl[lpm.send_idx[0]]  # (P, K)
+    halo = jax.lax.all_to_all(send_buf, axis, 0, 0).reshape(-1)  # (P*K,)
+    # interior SpMV — independent of the collective; XLA overlaps them
+    a_int = pm.local_interior(
+        lpm.int_values[0], lpm.int_cols[0],
+        lpm.int_hack_offsets[0], lpm.int_slot_to_hack[0],
+    )
+    z = hell_spmv_xla(a_int, xl)
+    # exterior SpMV over the received halo
+    a_ext = pm.local_exterior(
+        lpm.ext_values[0], lpm.ext_cols[0],
+        lpm.ext_hack_offsets[0], lpm.ext_slot_to_hack[0],
+    )
+    z = z + hell_spmv_xla(a_ext, halo)
+    return z[None]
+
+
+def dist_spmv(
+    pm: PartitionedMatrix,
+    x: jax.Array,
+    mesh: Mesh,
+    axis: str = "rows",
+) -> jax.Array:
+    """Distributed ``A @ x`` for a row-partitioned square matrix.
+
+    ``x`` is a global ``(n,)`` vector (replicated or sharded); the result
+    is the global ``(n,)`` product, sharded over ``axis``.
+    """
+    xp = pad_vector(x, pm.padded_rows).reshape(pm.n_shards, pm.chunk)
+    xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
+    pm_s = shard_partitioned(pm, mesh, axis)
+    f = jax.jit(
+        jax.shard_map(
+            partial(local_matvec, pm, axis),
+            mesh=mesh,
+            in_specs=(_leaf_spec(pm, axis), P(axis)),
+            out_specs=P(axis),
+        )
+    )
+    z = f(pm_s, xp)
+    return z.reshape(-1)[: pm.n_rows]
+
+
+def make_dist_matvec(pm: PartitionedMatrix, axis: str = "rows"):
+    """Return the shard-local matvec closure ``(lpm, x_local) -> z_local``
+    for embedding in a larger ``shard_map`` program (e.g. the CG loop in
+    :mod:`spgpu_tpu.parallel.dist_solve`)."""
+    return partial(local_matvec, pm, axis)

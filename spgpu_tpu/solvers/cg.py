@@ -129,29 +129,44 @@ def bicgstab(
     State = tuple
 
     def cond(s):
-        x, r, p, v, rho, alpha, omega, k = s
+        x, r, p, v, rho, alpha, omega, k, down = s
         rnorm = jnp.sqrt(jnp.real(dotp(r, r)))
-        return (rnorm > tol * bnorm) & (k < maxiter)
+        return (rnorm > tol * bnorm) & (k < maxiter) & ~down
 
     def body(s):
-        x, r, p, v, rho, alpha, omega, k = s
+        x, r, p, v, rho, alpha, omega, k, down = s
         rho_new = dotp(rhat, r)
+        # breakdown guards: rho/omega/(rhat·v)/tt ≈ 0 would divide to
+        # NaN and silently loop to maxiter; freeze the iterate instead.
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
         phat = prec(p)
         v = matvec(phat)
-        alpha = rho_new / dotp(rhat, v)
+        rv = dotp(rhat, v)
+        alpha = rho_new / rv
         s_vec = r - alpha * v
         shat = prec(s_vec)
         t = matvec(shat)
         tt = dotp(t, t)
-        omega = jnp.where(tt == 0, 0.0, dotp(t, s_vec) / jnp.where(tt == 0, 1.0, tt))
-        x = x + alpha * phat + omega * shat
-        r = s_vec - omega * t
-        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+        omega_new = jnp.where(tt == 0, 0.0, dotp(t, s_vec) / jnp.where(tt == 0, 1.0, tt))
+        x_new = x + alpha * phat + omega_new * shat
+        r_new = s_vec - omega_new * t
+        tiny = jnp.asarray(jnp.finfo(jnp.real(b).dtype).tiny, jnp.real(b).dtype)
+        down = (
+            (jnp.abs(rho_new) < tiny)
+            | (jnp.abs(rv) < tiny)
+            | (jnp.abs(omega_new) < tiny)
+            | ~jnp.isfinite(jnp.real(dotp(r_new, r_new)))
+        )
+        keep = lambda new, old: jnp.where(down, old, new)
+        return (
+            keep(x_new, x), keep(r_new, r), p, v, rho_new, alpha,
+            jnp.where(down, omega, omega_new), k + 1, down,
+        )
 
     one = jnp.ones((), b.dtype)
-    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one, jnp.int32(0))
-    x, r, p, v, rho, alpha, omega, k = jax.lax.while_loop(cond, body, init)
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            jnp.int32(0), jnp.bool_(False))
+    x, r, p, v, rho, alpha, omega, k, down = jax.lax.while_loop(cond, body, init)
     rnorm = jnp.sqrt(jnp.real(dotp(r, r)))
     return CgResult(x, k, rnorm, rnorm <= tol * bnorm)

@@ -1,0 +1,117 @@
+"""Distributed layer tests — 8 virtual CPU devices (conftest forces
+``xla_force_host_platform_device_count=8``), the CPU-runnable multi-host
+strategy of SURVEY §4.  Golden reference: host COO SpMV / scipy-style
+dense solves."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from spgpu_tpu.parallel.partition import (
+    PartitionedMatrix,
+    make_row_mesh,
+    partition_coo_rows,
+)
+from spgpu_tpu.parallel.dist_spmv import dist_spmv
+from spgpu_tpu.parallel.dist_solve import dist_bicgstab, dist_cg
+from spgpu_tpu.solvers.cg import jacobi_preconditioner
+from spgpu_tpu.utils.fixtures import laplacian_2d, random_banded, random_irregular
+
+
+requires_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: laplacian_2d(37, 41),
+        lambda: random_irregular(1000, 1000, avg_nnz_per_row=9.0, seed=3),
+        lambda: random_banded(900, bands=7, wander=13, seed=4),
+    ],
+    ids=["laplace", "irregular", "banded"],
+)
+def test_dist_spmv_matches_golden(n_shards, make):
+    if n_shards > len(jax.devices()):
+        pytest.skip("not enough devices")
+    coo = make()
+    pm = partition_coo_rows(coo, n_shards)
+    mesh = make_row_mesh(n_shards)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(coo.n_rows)
+    z = dist_spmv(pm, x, mesh)
+    np.testing.assert_allclose(np.asarray(z), coo.spmv(x), rtol=1e-12, atol=1e-12)
+
+
+@requires_8
+def test_dist_spmv_fp32():
+    coo = laplacian_2d(32, 32, dtype=np.float32)
+    pm = partition_coo_rows(coo, 8)
+    mesh = make_row_mesh(8)
+    x = np.random.default_rng(1).standard_normal(coo.n_rows).astype(np.float32)
+    z = dist_spmv(pm, x, mesh)
+    np.testing.assert_allclose(np.asarray(z), coo.spmv(x), rtol=1e-5, atol=1e-5)
+
+
+@requires_8
+def test_partition_shapes_and_plan():
+    coo = laplacian_2d(20, 20)  # n=400, not a multiple of 8*128
+    pm = partition_coo_rows(coo, 8)
+    assert pm.chunk % pm.hack_size == 0
+    assert pm.padded_rows >= coo.n_rows
+    assert pm.send_idx.shape[:2] == (8, 8)
+    # interior slab columns stay inside the shard
+    assert int(np.asarray(pm.int_cols).max()) < pm.chunk
+    # exterior columns index the (S*K,) halo buffer
+    assert int(np.asarray(pm.ext_cols).max()) < 8 * pm.halo_width
+
+
+@requires_8
+def test_dist_cg_laplacian():
+    coo = laplacian_2d(31, 37)
+    pm = partition_coo_rows(coo, 8)
+    mesh = make_row_mesh(8)
+    b = np.random.default_rng(2).standard_normal(coo.n_rows)
+    res = dist_cg(pm, b, mesh, tol=1e-10, maxiter=3000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(coo.spmv(np.asarray(res.x)), b, atol=1e-8)
+
+
+@requires_8
+def test_dist_cg_jacobi_preconditioned():
+    coo = random_banded(700, bands=5, wander=0, seed=7)  # diag-dominant
+    coo_sym_b = coo  # not symmetric; use normal-equations-free bicgstab below
+    pm = partition_coo_rows(laplacian_2d(25, 28), 8)
+    lap = laplacian_2d(25, 28)
+    mesh = make_row_mesh(8)
+    b = np.random.default_rng(3).standard_normal(lap.n_rows)
+    res = dist_cg(pm, b, mesh, tol=1e-10, maxiter=3000,
+                  m_inv=jacobi_preconditioner(lap))
+    assert bool(res.converged)
+    np.testing.assert_allclose(lap.spmv(np.asarray(res.x)), b, atol=1e-8)
+
+
+@requires_8
+def test_dist_bicgstab_nonsymmetric():
+    coo = random_banded(640, bands=5, wander=0, seed=9)  # diag-dominant
+    pm = partition_coo_rows(coo, 8)
+    mesh = make_row_mesh(8)
+    b = np.random.default_rng(4).standard_normal(coo.n_rows)
+    res = dist_bicgstab(pm, b, mesh, tol=1e-9, maxiter=4000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(coo.spmv(np.asarray(res.x)), b, atol=1e-6)
+
+
+@requires_8
+def test_dist_matches_single_device_cg():
+    """N-shard CG and 1-shard CG agree (same math, different partition)."""
+    coo = laplacian_2d(24, 24)
+    b = np.random.default_rng(5).standard_normal(coo.n_rows)
+    r1 = dist_cg(partition_coo_rows(coo, 1), b, make_row_mesh(1),
+                 tol=1e-10, maxiter=2000)
+    r8 = dist_cg(partition_coo_rows(coo, 8), b, make_row_mesh(8),
+                 tol=1e-10, maxiter=2000)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r8.x), atol=1e-7)
