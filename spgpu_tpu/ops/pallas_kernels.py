@@ -1,0 +1,153 @@
+"""Pallas TPU kernels — the performance core.
+
+TPU-native re-implementations of the reference's CUDA SpMV kernels
+(SURVEY §2.4).  The CUDA code earns its speed from texture-cached
+arbitrary gathers of ``x`` plus warp-level tricks
+(``hell_spmv_base_template.cuh:32-54``); Mosaic/TPU has neither, so the
+kernels here are built from the primitives the VPU does have:
+
+* ``take_along_axis(t, i, axis=0)`` — sublane gather, 8-tall table;
+* ``take_along_axis(t, i, axis=1)`` — lane gather within 128 lanes;
+* dynamic slices of VMEM-resident operands.
+
+The WHELL format (:mod:`spgpu_tpu.formats.whell`) is laid out at
+conversion time so one contiguous window slice, one sublane gather
+(page routing) and one lane gather (residue pick) yield every x
+operand — three vector ops per 8×128 tile instead of 1024 scalar
+fetches.
+
+The x vector is kept fully VMEM-resident as an ``(pages, 128)`` slab
+(the TPU analogue of "x fits in texture cache"); that bounds ``n_cols``
+at a few million fp32 entries per kernel call — column-panel tiling is
+the planned extension for larger matrices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spgpu_tpu.formats.whell import WhellMatrix
+
+__all__ = ["whell_spmv_pallas", "supports"]
+
+
+def supports(fmt: str, a, dtype) -> bool:
+    """Dispatcher hook: is a Pallas kernel available for this case?"""
+    if fmt == "whell":
+        return np.dtype(dtype) == np.float32
+    return False
+
+
+_CHUNK_TILES = 8  # tiles per grid step: 64 slots, 64 KB of values
+
+
+def _whell_kernel(tbase_ref, chack_ref, vals_ref, res_ref, x_hbm_ref,
+                  z_ref, x_vmem, xsem):
+    """Grid = one step per 64-slot chunk (Pallas double-buffers the
+    128 KB of slab blocks per step — big enough that per-DMA latency is
+    amortised; 8 KB blocks run latency-bound at ~33 GB/s).  Each chunk
+    belongs to exactly one hack (conversion pads hacks to whole chunks);
+    z accumulates across a hack's chunks and is zeroed on its first."""
+    c = pl.program_id(0)
+
+    # stage x into VMEM exactly once; the scratch persists across steps.
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, chack_ref[c] != chack_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        z_ref[:] = jnp.zeros_like(z_ref)
+
+    acc = jnp.zeros((8, 128), vals_ref.dtype)
+    for k in range(_CHUNK_TILES):
+        win8 = x_vmem[pl.ds(tbase_ref[c * _CHUNK_TILES + k], 8), :]
+        packed = res_ref[k * 8:(k + 1) * 8, :]
+        page = jax.lax.shift_right_logical(packed, jnp.int32(7))  # per-slot constant
+        res = jax.lax.bitwise_and(packed, jnp.int32(127))
+        # page routing (sublane gather; index constant along each slot
+        # row, which makes the two-gather chain exact), then residue pick
+        h1 = jnp.take_along_axis(win8, page, axis=0)
+        g = jnp.take_along_axis(h1, res, axis=1)
+        acc = acc + vals_ref[k * 8:(k + 1) * 8, :] * g
+    z_ref[:] += acc[None]
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_hacks", "x_pages", "interpret"))
+def _whell_spmv_call(values, residue, tile_base, chunk_hack, x2d, *,
+                     num_tiles, num_hacks, x_pages, interpret=False):
+    num_chunks = num_tiles // _CHUNK_TILES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda c, tb, ch: (ch[c], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((x_pages, 128), values.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    acc = pl.pallas_call(
+        _whell_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_hacks, 8, 128), values.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * 8 + x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, chunk_hack, values, residue, x2d)
+    return acc.sum(axis=1)
+
+
+def _prep_x(x, n_cols: int, x_pages: int):
+    pad = x_pages * 128 - n_cols
+    if pad:
+        x = jnp.pad(x, (0, pad))
+    return x.reshape(x_pages, 128)
+
+
+def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
+                      interpret: bool = False):
+    """``z = beta*y + alpha*(A @ x)`` on the WHELL layout.
+
+    Semantics match ``spgpu?hellspmv`` (``hell_spmv_base.cuh:103-157``):
+    static ``beta == 0`` never reads ``y``; a row permutation (OELL) is
+    applied on the output.  Single-RHS; see :func:`whell_spmm_pallas`
+    for the fused multi-RHS variant.
+    """
+    x2d = _prep_x(x, a.n_cols, a.x_pages)
+    z = _whell_spmv_call(
+        a.values, a.residue, a.tile_base, a.chunk_hack, x2d,
+        num_tiles=a.num_tiles, num_hacks=a.num_hacks, x_pages=a.x_pages,
+        interpret=interpret,
+    )
+    acc = z.reshape(-1)
+    if a.row_perm is not None:
+        # stored row i holds original row row_perm[i]; scatter back.  For
+        # iterative solvers prefer relabelling the whole system instead
+        # (solve in permuted space) — this scatter is per-product cost.
+        out = jnp.zeros((a.rows_padded,), acc.dtype)
+        acc = out.at[a.row_perm].set(acc[: a.row_perm.shape[0]])
+    acc = acc[: a.n_rows]
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
+    return alpha * acc + beta * y

@@ -18,6 +18,7 @@ __all__ = [
     "laplacian_2d",
     "laplacian_3d",
     "random_irregular",
+    "random_fem_like",
     "random_banded",
     "ctest_fixture",
 ]
@@ -95,6 +96,38 @@ def random_irregular(
     if np.issubdtype(np.dtype(dtype), np.complexfloating):
         vals = vals + 1j * rng.standard_normal(rows.size)
     return CooMatrix(rows, cols, vals.astype(dtype), n_rows, n_cols)
+
+
+def random_fem_like(
+    n: int,
+    avg_nnz_per_row: float = 27.0,
+    span: int = 2048,
+    far_frac: float = 0.05,
+    alpha: float = 1.8,
+    seed: int = 0,
+    dtype=np.float64,
+) -> CooMatrix:
+    """Irregular-degree matrix with *column locality* — the realistic
+    SuiteSparse/FEM profile: most couplings are near-diagonal (within
+    ``span``), a small ``far_frac`` are long-range (constraints,
+    multipoint couplings).  Uniformly random columns (``span >= n``)
+    defeat every blocked sparse format on every architecture; FEM
+    matrices, the reference's PSBLAS domain, do not look like that."""
+    rng = np.random.default_rng(seed)
+    raw = rng.pareto(alpha, size=n) + 1.0
+    lens = np.maximum(1, (raw * (avg_nnz_per_row / raw.mean())).astype(np.int64))
+    lens = np.minimum(lens, n)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    m = rows.size
+    local = rng.integers(-span, span + 1, size=m) + rows
+    far = rng.integers(0, n, size=m)
+    is_far = rng.random(m) < far_frac
+    cols = np.where(is_far, far, np.clip(local, 0, n - 1))
+    key = rows * n + cols
+    uniq = np.unique(key)
+    rows, cols = uniq // n, uniq % n
+    vals = rng.standard_normal(rows.size)
+    return CooMatrix(rows, cols, vals.astype(dtype), n, n)
 
 
 def random_banded(

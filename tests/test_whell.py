@@ -1,0 +1,110 @@
+"""WHELL format + Pallas kernel tests (interpret mode on CPU).
+
+The compiled kernel is exercised on the real chip by the verify drive
+and bench harness; interpret mode checks the same kernel logic
+element-exactly against the host COO golden (SURVEY §4 pattern 1).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spgpu_tpu.convert.whell import (
+    coo_to_whell,
+    degree_sort_perm,
+    symmetric_relabel,
+)
+from spgpu_tpu.formats.coo import CooMatrix
+from spgpu_tpu.ops.pallas_kernels import whell_spmv_pallas
+from spgpu_tpu.utils.fixtures import (
+    ctest_fixture,
+    laplacian_2d,
+    random_banded,
+    random_fem_like,
+    random_irregular,
+)
+
+
+CASES = {
+    "ctest": lambda: ctest_fixture(np.float32),
+    "laplace": lambda: laplacian_2d(23, 31, np.float32),
+    "laplace_wide": lambda: laplacian_2d(200, 30, np.float32),
+    "irregular": lambda: random_irregular(1000, 1000, 9.0, seed=3, dtype=np.float32),
+    "banded": lambda: random_banded(900, bands=7, wander=13, seed=4, dtype=np.float32),
+    "fem": lambda: random_fem_like(4000, 16.0, span=256, far_frac=0.02, seed=5, dtype=np.float32),
+    "rect": lambda: random_irregular(700, 1200, 6.0, seed=8, dtype=np.float32),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_layout_roundtrip(name):
+    coo = CASES[name]()
+    a = coo_to_whell(coo)
+    np.testing.assert_array_equal(a.to_dense(), coo.to_dense())
+    assert a.total_slots % 64 == 0  # whole chunks
+    # chunks never straddle hacks
+    th = np.asarray(a.tile_hack)
+    assert (th.reshape(-1, 8) == th.reshape(-1, 8)[:, :1]).all()
+    # per-slot page deltas stay in the 8-page window
+    res = np.asarray(a.residue)
+    assert res.min() >= 0 and (res >> 7).max() < 8
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_spmv_matches_golden(name):
+    coo = CASES[name]()
+    a = coo_to_whell(coo)
+    x = np.random.default_rng(0).standard_normal(coo.n_cols).astype(np.float32)
+    z = whell_spmv_pallas(a, jnp.asarray(x), interpret=True)
+    ref = coo.spmv(x)
+    np.testing.assert_allclose(np.asarray(z), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_alpha_beta_y():
+    coo = laplacian_2d(16, 16, np.float32)
+    a = coo_to_whell(coo)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(coo.n_cols).astype(np.float32)
+    y = rng.standard_normal(coo.n_rows).astype(np.float32)
+    z = whell_spmv_pallas(a, jnp.asarray(x), alpha=2.5, beta=-0.5,
+                          y=jnp.asarray(y), interpret=True)
+    ref = 2.5 * coo.spmv(x) - 0.5 * y
+    np.testing.assert_allclose(np.asarray(z), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_sorted_rows_oell_output_perm():
+    coo = random_irregular(500, 500, 7.0, seed=11, dtype=np.float32)
+    a = coo_to_whell(coo, sort_rows=True)
+    assert a.row_perm is not None
+    x = np.random.default_rng(2).standard_normal(500).astype(np.float32)
+    z = whell_spmv_pallas(a, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(z), coo.spmv(x), rtol=2e-5, atol=2e-5)
+
+
+def test_symmetric_relabel_preserves_solution_space():
+    coo = laplacian_2d(20, 20, np.float32)
+    perm = degree_sort_perm(coo)
+    rel = symmetric_relabel(coo, perm)
+    x = np.random.default_rng(3).standard_normal(coo.n_rows).astype(np.float32)
+    # (P A P^T)(P x) = P (A x)
+    lhs = rel.spmv(x[perm])
+    rhs = coo.spmv(x)[perm]
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-6, atol=1e-6)
+
+
+def test_duplicates_accumulate():
+    # ctest fixture: every diagonal hit twice -> SpMV sees 2.0
+    coo = ctest_fixture(np.float32)
+    a = coo_to_whell(coo)
+    x = np.ones(100, np.float32)
+    z = whell_spmv_pallas(a, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(z), np.full(100, 2.0), rtol=1e-6)
+
+
+def test_empty_matrix():
+    coo = CooMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32), 300, 300)
+    a = coo_to_whell(coo)
+    z = whell_spmv_pallas(a, jnp.ones(300, jnp.float32), interpret=True)
+    np.testing.assert_array_equal(np.asarray(z), np.zeros(300, np.float32))
