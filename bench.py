@@ -1,25 +1,23 @@
-"""Headline benchmark — HELL SpMV fp32 GFLOPS vs HBM roofline.
+"""Headline benchmark — WHELL (Pallas) SpMV fp32 vs HBM roofline.
 
-Replicates the reference's measurement protocol (SURVEY §3.5,
-``/root/reference/src/tests/hellPerf.cpp:209-252``): warm-up SpMV, a
-``dot(z, z)`` checksum, then a timed loop reported as
-``GFLOPS = (2·nnz − 1)/t_avg``.
+The flagship op: HELL-class SpMV on an irregular-degree matrix with FEM-
+like column locality, through the WHELL Pallas kernel
+(:mod:`spgpu_tpu.ops.pallas_kernels`).  Replicates the reference's
+measurement protocol (SURVEY §3.5, ``hellPerf.cpp:209-252``): warm-up
+SpMV, ``dot(z, z)`` checksum, timed loop, ``GFLOPS = (2·nnz − 1)/t``.
 
 Measurement mechanics, learned the hard way on the axon TPU backend:
 
-* the timed loop is a single jitted ``lax.fori_loop`` whose carry chains
-  each SpMV into the next (``z_{k+1} = A z_k · s``) — a real data
-  dependency; the ``x + 0·z`` trick gets algebraically simplified away
-  and 20 independent dispatches just measure queue depth;
+* the timed loop is one jitted ``lax.fori_loop`` whose carry chains each
+  SpMV into the next — independent dispatches only measure queue depth;
 * ``block_until_ready`` does NOT synchronise on the axon tunnel — the
-  only honest fence is a device→host readback, so we time through
-  ``float(result.sum())``.
+  only honest fence is a device→host readback (``float(result.sum())``).
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": GFLOPS, "unit": "GFLOP/s", "vs_baseline": f}``
-where ``vs_baseline`` is the achieved fraction of the memory-bandwidth
-roofline (the reference publishes no numbers — BASELINE.md sets ≥0.90 of
-roofline as the target).  Extra detail lines go to stderr.
+where ``vs_baseline`` is the achieved fraction of the HBM-bandwidth
+roofline for the matrix's actual slab bytes (the reference publishes no
+numbers — BASELINE.md sets ≥0.90 of roofline as the north-star target).
 """
 
 import json
@@ -34,66 +32,64 @@ def main():
     import jax.numpy as jnp
 
     from spgpu_tpu.core import hbm_bandwidth
-    from spgpu_tpu.convert import coo_to_hell
-    from spgpu_tpu.ops import hell_spmv
+    from spgpu_tpu.convert import coo_to_whell
+    from spgpu_tpu.ops import whell_spmv
     from spgpu_tpu.ops.blas1 import dot
-    from spgpu_tpu.utils.fixtures import random_irregular
+    from spgpu_tpu.utils.fixtures import random_fem_like
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
-    n = 1 << 16 if on_tpu else 1 << 14
-    avg = 27.0
-    iters = 10
+    n = 1 << 18 if on_tpu else 1 << 13
+    iters = 50 if on_tpu else 5
 
-    coo = random_irregular(n, n, avg_nnz_per_row=avg, seed=0, dtype=np.float32)
-    # hacked-OELL: sort rows by descending length before hacking so the
-    # Pareto tail doesn't widen every hack it lands in.
-    order = np.argsort(-coo.row_lengths(), kind="stable").astype(np.int32)
-    a = coo_to_hell(coo, row_perm=order)
+    coo = random_fem_like(n, avg_nnz_per_row=27.0, span=768, far_frac=0.01,
+                          seed=0, dtype=np.float32)
+    a = coo_to_whell(coo)
     nnz = coo.nnz
     x = jnp.asarray(np.random.default_rng(1).standard_normal(n), jnp.float32)
 
-    # row_perm scatters z back to original row order; for the bandwidth
-    # measurement we keep the permuted output (the reference's OELL leg
-    # also measures the permuted kernel, hellPerf.cpp:323-378).
     scale = jnp.float32(1e-3)
 
     @jax.jit
     def spmv(a, x):
-        return hell_spmv(a, x)
+        return whell_spmv(a, x)
 
     @jax.jit
-    def timed(a, x):
+    def timed(a, x0):
         def body(_, c):
-            return hell_spmv(a, c) * scale
+            return whell_spmv(a, c) * scale
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        return jax.lax.fori_loop(0, iters, body, x0)
 
     # warm-up + checksum (hellPerf.cpp:209-234)
     z = spmv(a, x)
     checksum = float(dot(z, z))
     float(timed(a, x).sum())  # compile + full execution fence
 
-    t0 = time.perf_counter()
-    s = float(timed(a, x).sum())
-    t = (time.perf_counter() - t0) / iters
+    t = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = float(timed(a, x).sum())
+        t = min(t, (time.perf_counter() - t0) / iters)
 
     gflops = (2.0 * nnz - 1.0) / t * 1e-9
-    # roofline bytes: values + int32 col indices + x read once + z write.
-    bytes_moved = nnz * (4 + 4) + n * 4 * 2
+    # actual traffic: value slab + packed index slab + x staged once + z.
+    slab = int(a.values.size) * (4 + 4)
+    bytes_moved = slab + n * 4 * 2
     bw = hbm_bandwidth(dev)
-    vs = (gflops * 1e9) / ((2.0 * nnz - 1.0) / (bytes_moved / bw)) if bw else 0.0
+    vs = (bytes_moved / t) / bw if bw else 0.0
 
     print(
-        f"device={dev.device_kind} n={n} nnz={nnz} storage={a.storage_bytes}B "
-        f"checksum={checksum:.6e} t_avg={t*1e3:.3f}ms sync={s!r} "
-        f"eff_bw={bytes_moved/t/1e9:.1f}GB/s roofline_frac={vs:.3f}",
+        f"device={dev.device_kind} n={n} nnz={nnz} pad={a.values.size/nnz:.2f} "
+        f"storage={a.storage_bytes}B checksum={checksum:.6e} "
+        f"t_avg={t*1e3:.3f}ms eff_bw={bytes_moved/t/1e9:.1f}GB/s "
+        f"roofline_frac={vs:.3f}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "metric": "hell_spmv_fp32_gflops",
+                "metric": "whell_spmv_fp32_gflops",
                 "value": round(gflops, 3),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(vs, 4),

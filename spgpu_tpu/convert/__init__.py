@@ -6,6 +6,12 @@ reference-parity notes (SURVEY §2.3).  When the optional C++ acceleration
 there transparently.
 """
 
+from spgpu_tpu.convert.whell import (
+    coo_to_whell,
+    degree_sort_perm,
+    symmetric_relabel,
+)
+from spgpu_tpu.convert.whdia import coo_to_whdia
 from spgpu_tpu.convert.host import (
     bcoo_to_bhdia,
     compute_dia_diagonals_count,
@@ -24,6 +30,10 @@ from spgpu_tpu.convert.host import (
 )
 
 __all__ = [
+    "coo_to_whell",
+    "coo_to_whdia",
+    "degree_sort_perm",
+    "symmetric_relabel",
     "bcoo_to_bhdia",
     "compute_dia_diagonals_count",
     "compute_ell_alloc_pitch",

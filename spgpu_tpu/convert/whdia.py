@@ -1,0 +1,129 @@
+"""COO → WHDIA conversion (host-side, vectorised NumPy).
+
+Builds the windowed-HDIA compute layout (:mod:`spgpu_tpu.formats.whdia`).
+Mirrors the reference's ``cooToHdia`` semantics
+(``/root/reference/src/core/hdia.cpp:230-349``): entries are bucketed by
+(hack, diagonal); duplicate coordinates plain-store so the last entry in
+file order wins (like ``coo2dia``, ``dia.c:95-100``); out-of-range cells
+(diagonal ends) stay zero.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spgpu_tpu.core import CHUNK_TILES as _CT
+from spgpu_tpu.formats.coo import CooMatrix
+from spgpu_tpu.formats.whdia import WhdiaMatrix
+
+__all__ = ["coo_to_whdia"]
+
+_HACK = 128
+_GROUP = 8  # hacks per output group
+_SPREAD = 768  # max diagonal spread inside one 8-slot tile
+
+
+def _excl_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(a)
+    np.cumsum(a[:-1], out=out[1:])
+    return out
+
+
+def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
+    vals_in = coo.values if dtype is None else coo.values.astype(dtype)
+    val_dtype = vals_in.dtype
+    num_hacks = max(-(-coo.n_rows // _HACK), 1)
+    num_groups = -(-num_hacks // _GROUP)
+    num_pages = max(-(-coo.n_cols // 128), 1)
+    x_pages = max(num_pages, 8)
+    m = coo.nnz
+
+    if m == 0:
+        total = num_groups * _CT * 8
+        import jax.numpy as jnp
+
+        return WhdiaMatrix(
+            values=jnp.zeros((total, _HACK), val_dtype),
+            slot_r0=jnp.zeros((total,), jnp.int32),
+            tile_base=jnp.zeros((total // 8,), jnp.int32),
+            tile_hh=jnp.zeros((total // 8,), jnp.int32),
+            chunk_group=jnp.arange(num_groups, dtype=jnp.int32),
+            n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
+            num_groups=num_groups, total_slots=total, nnz=0, x_pages=x_pages,
+        )
+
+    hack = (coo.rows // _HACK).astype(np.int64)
+    lane = (coo.rows % _HACK).astype(np.int64)
+    diag = (coo.cols - coo.rows).astype(np.int64)
+
+    # --- slots: one per occupied (hack, diagonal) -----------------------
+    # order entries by (hack, diag, file order) so later duplicates win
+    order = np.lexsort((np.arange(m), diag, hack))
+    h_s, d_s = hack[order], diag[order]
+    new_slot_flag = np.r_[True, (h_s[1:] != h_s[:-1]) | (d_s[1:] != d_s[:-1])]
+    slot_of_entry = np.cumsum(new_slot_flag) - 1
+    n_slots = int(slot_of_entry[-1]) + 1
+    slot_hack = h_s[new_slot_flag]
+    slot_diag = d_s[new_slot_flag]
+
+    # --- greedy tiling: 8 slots/tile, same hack, spread <= _SPREAD ------
+    tile_of_slot = np.empty(n_slots, dtype=np.int64)
+    pos_of_slot = np.empty(n_slots, dtype=np.int64)
+    tile_hack_l, tile_d0_l = [], []
+    fill, cur_hack, d0 = 8, -2, 0
+    for i in range(n_slots):
+        h_i, d_i = slot_hack[i], slot_diag[i]
+        if fill == 8 or h_i != cur_hack or d_i - d0 > _SPREAD:
+            tile_hack_l.append(h_i)
+            tile_d0_l.append(d_i)
+            cur_hack, d0, fill = h_i, d_i, 0
+        tile_of_slot[i] = len(tile_hack_l) - 1
+        pos_of_slot[i] = fill
+        fill += 1
+    tile_hack_a = np.asarray(tile_hack_l, dtype=np.int64)
+    tile_d0_a = np.asarray(tile_d0_l, dtype=np.int64)
+    n_raw_tiles = tile_hack_a.size
+
+    # --- group hacks by 8; pad each group's tiles to whole chunks -------
+    tile_group = tile_hack_a // _GROUP
+    raw_tiles_per_group = np.bincount(tile_group, minlength=num_groups)
+    pad_tiles_per_group = np.maximum(-(-raw_tiles_per_group // _CT) * _CT, _CT)
+    group_tile_base = _excl_cumsum(pad_tiles_per_group)
+    num_tiles = int(pad_tiles_per_group.sum())
+    total_slots = num_tiles * 8
+    # raw tiles are already group-contiguous (slots sorted by hack)
+    rank_in_group = (np.arange(n_raw_tiles)
+                     - _excl_cumsum(raw_tiles_per_group)[tile_group])
+    tile_final = group_tile_base[tile_group] + rank_in_group
+
+    # --- per-tile scalars ----------------------------------------------
+    base_cap = max(num_pages - 8, 0)
+    start_min = tile_hack_a * _HACK + tile_d0_a
+    tb_raw = np.clip(start_min >> 7, 0, base_cap)
+    tile_base = np.zeros(num_tiles, dtype=np.int32)
+    tile_base[tile_final] = tb_raw.astype(np.int32)
+    tile_hh = np.zeros(num_tiles, dtype=np.int32)
+    tile_hh[tile_final] = (tile_hack_a % _GROUP).astype(np.int32)
+    chunk_group = np.repeat(np.arange(num_groups, dtype=np.int32),
+                            pad_tiles_per_group // _CT)
+
+    # --- per-slot r0; scatter values ------------------------------------
+    slot_final = tile_final[tile_of_slot] * 8 + pos_of_slot
+    r0 = (slot_hack * _HACK + slot_diag - tb_raw[tile_of_slot] * 128)
+    slot_r0 = np.zeros(total_slots, dtype=np.int32)
+    slot_r0[slot_final] = r0.astype(np.int32)
+    vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
+    vals[slot_final[slot_of_entry], lane[order]] = vals_in[order]
+
+    import jax.numpy as jnp
+
+    return WhdiaMatrix(
+        values=jnp.asarray(vals),
+        slot_r0=jnp.asarray(slot_r0),
+        tile_base=jnp.asarray(tile_base),
+        tile_hh=jnp.asarray(tile_hh),
+        chunk_group=jnp.asarray(chunk_group),
+        n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
+        num_groups=num_groups, total_slots=total_slots, nnz=m,
+        x_pages=x_pages,
+    )

@@ -16,10 +16,12 @@ from typing import Optional
 
 import numpy as np
 
+from spgpu_tpu.core import CHUNK_TILES as _CT
 from spgpu_tpu.formats.coo import CooMatrix
 from spgpu_tpu.formats.whell import WhellMatrix
 
-__all__ = ["coo_to_whell", "degree_sort_perm", "symmetric_relabel"]
+__all__ = ["coo_to_whell", "degree_sort_perm", "local_degree_perm",
+           "symmetric_relabel"]
 
 _HACK = 128
 
@@ -28,6 +30,28 @@ def degree_sort_perm(coo: CooMatrix) -> np.ndarray:
     """Stored-row → original-row permutation sorting rows by descending
     nnz — the OELL ordering (``ell.c:85-157``)."""
     return np.argsort(-coo.row_lengths(), kind="stable").astype(np.int32)
+
+
+def local_degree_perm(coo: CooMatrix, window: int = 1024) -> np.ndarray:
+    """OELL's descending-degree ordering applied *within* ``window``-row
+    blocks (new label → old label).
+
+    Global degree sort (``ell.c:85-157``) homogenises hack widths but a
+    symmetric relabel with it scrambles column locality — the thing the
+    WHELL window layout feeds on.  Sorting only within 1024-row blocks
+    moves every label by < ``window``, so bandwidth/span grow by at most
+    2·``window`` while each 128-row hack still gets length-homogeneous
+    rows: the heavy tail of a power-law degree distribution concentrates
+    in one hack per window instead of widening every page group it
+    touches.
+    """
+    lens = coo.row_lengths()
+    n = coo.n_rows
+    perm = np.empty(n, dtype=np.int32)
+    for s in range(0, n, window):
+        e = min(s + window, n)
+        perm[s:e] = s + np.argsort(-lens[s:e], kind="stable")
+    return perm
 
 
 def symmetric_relabel(coo: CooMatrix, perm: np.ndarray) -> CooMatrix:
@@ -155,7 +179,7 @@ def coo_to_whell(
 
     # --- pad each hack to whole 8-tile chunks (the kernel's grid unit) --
     raw_tiles_per_hack = np.bincount(tile_hack_a, minlength=num_hacks)
-    pad_tiles_per_hack = np.maximum(-(-raw_tiles_per_hack // 8) * 8, 8)
+    pad_tiles_per_hack = np.maximum(-(-raw_tiles_per_hack // _CT) * _CT, _CT)
     hack_tile_base = _excl_cumsum(pad_tiles_per_hack)
     num_tiles = int(pad_tiles_per_hack.sum())
     total_slots = num_tiles * 8
@@ -187,7 +211,7 @@ def coo_to_whell(
     tile_base_f[tile_final] = tile_base_a.astype(np.int32)
     tile_hack_f = np.repeat(np.arange(num_hacks, dtype=np.int32),
                             pad_tiles_per_hack)
-    chunk_hack = tile_hack_f[::8].copy()
+    chunk_hack = tile_hack_f[::_CT].copy()
     hack_tile_off = np.zeros(num_hacks + 1, dtype=np.int32)
     np.cumsum(pad_tiles_per_hack, out=hack_tile_off[1:])
 
@@ -219,20 +243,20 @@ def coo_to_whell(
 def _empty_whell(coo, num_hacks, num_pages, val_dtype, row_perm):
     import jax.numpy as jnp
 
-    total = num_hacks * 64
+    total = num_hacks * _CT * 8
     perm_arr = None
     if row_perm is not None:
         perm_p = np.arange(num_hacks * _HACK, dtype=np.int32)
         perm_p[: np.asarray(row_perm).size] = row_perm
         perm_arr = jnp.asarray(perm_p)
     return WhellMatrix(
-        values=jnp.zeros((num_hacks * 64, _HACK), val_dtype),
-        residue=jnp.zeros((num_hacks * 64, _HACK), jnp.int32),
-        tile_base=jnp.zeros((num_hacks * 8,), jnp.int32),
-        tile_hack=jnp.repeat(jnp.arange(num_hacks, dtype=jnp.int32), 8),
+        values=jnp.zeros((num_hacks * _CT * 8, _HACK), val_dtype),
+        residue=jnp.zeros((num_hacks * _CT * 8, _HACK), jnp.int32),
+        tile_base=jnp.zeros((num_hacks * _CT,), jnp.int32),
+        tile_hack=jnp.repeat(jnp.arange(num_hacks, dtype=jnp.int32), _CT),
         chunk_hack=jnp.arange(num_hacks, dtype=jnp.int32),
         hack_tile_off=jnp.asarray(
-            np.arange(num_hacks + 1, dtype=np.int32) * 8),
+            np.arange(num_hacks + 1, dtype=np.int32) * _CT),
         row_perm=perm_arr,
         n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
         total_slots=total, nnz=0, x_pages=max(num_pages, 8),

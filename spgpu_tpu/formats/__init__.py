@@ -19,6 +19,8 @@ from spgpu_tpu.formats.hell import HellMatrix
 from spgpu_tpu.formats.dia import DiaMatrix
 from spgpu_tpu.formats.hdia import HdiaMatrix
 from spgpu_tpu.formats.bcoo import BcooMatrix, BhdiaMatrix
+from spgpu_tpu.formats.whell import WhellMatrix
+from spgpu_tpu.formats.whdia import WhdiaMatrix
 
 __all__ = [
     "CooMatrix",
@@ -28,4 +30,6 @@ __all__ = [
     "HdiaMatrix",
     "BcooMatrix",
     "BhdiaMatrix",
+    "WhellMatrix",
+    "WhdiaMatrix",
 ]

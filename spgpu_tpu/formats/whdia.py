@@ -1,0 +1,109 @@
+"""WHDIA ("windowed Hacked DIA") — the TPU compute layout for HDIA.
+
+TPU-native re-design of the reference's HDIA format
+(``/root/reference/src/core/hdia.h:21-49``, layout built in
+``hdia.cpp:68-153``): rows hacked by 128 (one lane vector), each hack
+storing only its own occupied diagonals.
+
+The CUDA kernel walks each hack's diagonal list with a per-warp shared
+staging of offsets (``hdia_spmv_base_template.cuh:92-100``).  On TPU the
+structural win is much bigger: the x operand of slot ``s`` (hack ``h``,
+diagonal ``d``) is the *contiguous rotation* ``x[h·128 + d + lane]``,
+so no index arrays need to be stored at all — one scalar per slot
+(``slot_r0 = h·128 + d − 128·tile_base``) lets the kernel reconstruct
+both gather index sets arithmetically:
+
+* residue:   ``idx[s, j]  = (r0_s + j) & 127``
+* page table: ``pt[s, l]  = (r0_s >> 7) + (l < (r0_s & 127))``
+  (the rotation is a bijection on lanes, so residue → page is always a
+  function — the condition WHELL has to engineer by construction holds
+  here for free)
+
+and the usual sublane-gather + lane-gather chain resolves the window.
+HBM traffic is therefore values-only: 4 B/cell for fp32, the same as
+dense DIA but without DIA's empty-diagonal padding.
+
+Layout rules (mirroring WHELL's chunking):
+
+* a tile = 8 slots of one hack; diagonal spread within a tile ≤ 768 so
+  every valid cell's ``r0 + j`` stays inside the 8-page window;
+* hacks are grouped 8 at a time; each group's tiles are padded to whole
+  8-tile chunks (the grid unit), so the z block written per chunk covers
+  8 hacks — thin banded hacks (≈ 2 tiles each) would otherwise pay a
+  per-hack write-back.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from spgpu_tpu.core import CHUNK_TILES as _CT
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class WhdiaMatrix:
+    values: jax.Array  # (total_slots, 128) slot-major cells
+    slot_r0: jax.Array  # (total_slots,) int32: h*128 + d - 128*tile_base
+    tile_base: jax.Array  # (num_tiles,) int32: first x page of the tile
+    tile_hh: jax.Array  # (num_tiles,) int32: hack index within its group
+    chunk_group: jax.Array  # (num_tiles // 8,) int32: 8-hack group of chunk
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    num_hacks: int = dataclasses.field(metadata=dict(static=True))
+    num_groups: int = dataclasses.field(metadata=dict(static=True))
+    total_slots: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    x_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
+
+    hack_size = 128
+    group_hacks = 8
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def num_tiles(self) -> int:
+        return self.total_slots // 8
+
+    @property
+    def rows_padded(self) -> int:
+        return self.num_groups * self.group_hacks * 128
+
+    @property
+    def storage_bytes(self) -> int:
+        return int(
+            self.values.size * self.values.dtype.itemsize
+            + self.slot_r0.size * 4 + self.tile_base.size * 4
+            + self.tile_hh.size * 4 + self.chunk_group.size * 4
+        )
+
+    def to_dense(self) -> np.ndarray:
+        vals = np.asarray(self.values)
+        r0 = np.asarray(self.slot_r0)
+        tb = np.asarray(self.tile_base)
+        hh = np.asarray(self.tile_hh)
+        cg = np.asarray(self.chunk_group)
+        out = np.zeros((self.n_rows, self.n_cols), dtype=vals.dtype)
+        lane = np.arange(128)
+        for s in range(self.total_slots):
+            v = vals[s]
+            if not (v != 0).any():
+                continue
+            t = s // 8
+            hack = cg[t // _CT] * self.group_hacks + hh[t]
+            row = hack * 128 + lane
+            col = tb[t] * 128 + r0[s] + lane
+            ok = (v != 0) & (row < self.n_rows) & (col >= 0) & (col < self.n_cols)
+            # plain store: duplicates follow last-write-wins like coo2dia
+            out[row[ok], col[ok]] = v[ok]
+        return out

@@ -32,6 +32,7 @@ from spgpu_tpu.ops.spmv_xla import (
 
 __all__ = [
     "ell_spmv", "hell_spmv", "dia_spmv", "hdia_spmv", "bcoo_spmv",
+    "whell_spmv", "whdia_spmv",
     "ell_csput", "hell_csput",
 ] + blas1.__all__
 
@@ -117,3 +118,24 @@ def bcoo_spmv(a: BcooMatrix, x, alpha=1.0, beta=0.0, y=None):
     if isinstance(beta, (int, float)) and beta == 0 or y is None:
         return alpha * acc
     return alpha * acc + beta * y
+
+
+def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+    """SpMV on the WHELL compute layout (the Pallas TPU fast path for
+    HELL-class matrices; see :mod:`spgpu_tpu.formats.whell`).  Runs the
+    compiled kernel on TPU and interpret mode elsewhere."""
+    from spgpu_tpu.ops.pallas_kernels import whell_spmv_pallas
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    return whell_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
+
+
+def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+    """SpMV on the WHDIA compute layout (the Pallas TPU fast path for
+    HDIA-class matrices; see :mod:`spgpu_tpu.formats.whdia`)."""
+    from spgpu_tpu.ops.pallas_kernels import whdia_spmv_pallas
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    return whdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)

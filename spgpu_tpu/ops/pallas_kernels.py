@@ -33,8 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spgpu_tpu.formats.whell import WhellMatrix
+from spgpu_tpu.formats.whdia import WhdiaMatrix
 
-__all__ = ["whell_spmv_pallas", "supports"]
+__all__ = ["whell_spmv_pallas", "whdia_spmv_pallas", "supports"]
 
 
 def supports(fmt: str, a, dtype) -> bool:
@@ -44,7 +45,7 @@ def supports(fmt: str, a, dtype) -> bool:
     return False
 
 
-_CHUNK_TILES = 8  # tiles per grid step: 64 slots, 64 KB of values
+from spgpu_tpu.core import CHUNK_TILES as _CHUNK_TILES  # tiles per grid step
 
 
 def _whell_kernel(tbase_ref, chack_ref, vals_ref, res_ref, x_hbm_ref,
@@ -115,6 +116,96 @@ def _whell_spmv_call(values, residue, tile_base, chunk_hack, x2d, *,
         ),
     )(tile_base, chunk_hack, values, residue, x2d)
     return acc.sum(axis=1)
+
+
+def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,
+                  x_hbm_ref, z_ref, x_vmem, xsem):
+    """WHDIA SpMV: values-only traffic.  Each slot's x window is the
+    contiguous rotation x[h*128 + d + lane]; both gather index sets are
+    reconstructed arithmetically from one scalar per slot (see
+    formats/whdia.py), so unlike WHELL no index slab is streamed."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        z_ref[:] = jnp.zeros_like(z_ref)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    for k in range(_CHUNK_TILES):
+        t = c * _CHUNK_TILES + k
+        win8 = x_vmem[pl.ds(tbase_ref[t], 8), :]  # (8, 128)
+        r0 = jnp.stack([r0_ref[t * 8 + s] for s in range(8)]).reshape(8, 1)
+        rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
+        rr = jax.lax.bitwise_and(r0, jnp.int32(127))
+        # rotation bijection: residue l comes from page rq (+1 if l < rr)
+        pt = jnp.clip(rq + (lane < rr).astype(jnp.int32), 0, 7)
+        idx = jax.lax.bitwise_and(r0 + lane, jnp.int32(127))
+        h1 = jnp.take_along_axis(win8, pt, axis=0)
+        g = jnp.take_along_axis(h1, idx, axis=1)
+        contrib = vals_ref[k * 8:(k + 1) * 8, :] * g
+        hh = thh_ref[t]
+        z_ref[pl.ds(hh, 1), :, :] += contrib[None]
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "interpret"))
+def _whdia_spmv_call(values, slot_r0, tile_base, tile_hh, chunk_group,
+                     x2d, *, num_tiles, num_groups, x_pages,
+                     interpret=False):
+    num_chunks = num_tiles // _CHUNK_TILES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 8, 128), lambda c, r0, tb, th, cg: (cg[c], 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((x_pages, 128), values.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    acc = pl.pallas_call(
+        _whdia_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups * 8, 8, 128), values.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * 4 + x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(slot_r0, tile_base, tile_hh, chunk_group, values, x2d)
+    return acc.sum(axis=1)
+
+
+def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
+                      interpret: bool = False):
+    """``z = beta*y + alpha*(A @ x)`` on the WHDIA layout; semantics
+    match ``spgpu?hdiaspmv`` (``hdia_spmv_base.cuh:114-127``)."""
+    x2d = _prep_x(x, a.n_cols, a.x_pages)
+    z = _whdia_spmv_call(
+        a.values, a.slot_r0, a.tile_base, a.tile_hh, a.chunk_group, x2d,
+        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
+        interpret=interpret,
+    )
+    acc = z.reshape(-1)[: a.n_rows]
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
+    return alpha * acc + beta * y
 
 
 def _prep_x(x, n_cols: int, x_pages: int):

@@ -103,16 +103,19 @@ def random_fem_like(
     avg_nnz_per_row: float = 27.0,
     span: int = 2048,
     far_frac: float = 0.05,
+    hub_cols: int = 64,
     alpha: float = 1.8,
     seed: int = 0,
     dtype=np.float64,
 ) -> CooMatrix:
     """Irregular-degree matrix with *column locality* — the realistic
     SuiteSparse/FEM profile: most couplings are near-diagonal (within
-    ``span``), a small ``far_frac`` are long-range (constraints,
-    multipoint couplings).  Uniformly random columns (``span >= n``)
-    defeat every blocked sparse format on every architecture; FEM
-    matrices, the reference's PSBLAS domain, do not look like that."""
+    ``span``); a small ``far_frac`` are long-range, and those target a
+    small set of ``hub_cols`` shared columns (the structure of real
+    constraint blocks / Lagrange multipliers / multipoint couplings).
+    Uniformly random long-range columns (``hub_cols >= n``) defeat every
+    blocked sparse format on every architecture; FEM matrices, the
+    reference's PSBLAS domain, do not look like that."""
     rng = np.random.default_rng(seed)
     raw = rng.pareto(alpha, size=n) + 1.0
     lens = np.maximum(1, (raw * (avg_nnz_per_row / raw.mean())).astype(np.int64))
@@ -120,7 +123,11 @@ def random_fem_like(
     rows = np.repeat(np.arange(n, dtype=np.int64), lens)
     m = rows.size
     local = rng.integers(-span, span + 1, size=m) + rows
-    far = rng.integers(0, n, size=m)
+    # hubs: one contiguous block of shared columns (constraint blocks /
+    # multiplier columns are contiguous ranges in real FEM systems)
+    nh = max(min(hub_cols, n), 1)
+    hub0 = int(rng.integers(0, max(n - nh, 1)))
+    far = hub0 + rng.integers(0, nh, size=m)
     is_far = rng.random(m) < far_frac
     cols = np.where(is_far, far, np.clip(local, 0, n - 1))
     key = rows * n + cols

@@ -1,0 +1,77 @@
+"""WHDIA format + Pallas kernel tests (interpret mode on CPU).
+
+Duplicate policy parity: ``coo_to_whdia`` plain-stores into the
+(hack, diagonal) cell so the LAST entry in file order wins — matching
+``coo2dia``/``cooToHdia`` (``dia.c:95-100``, SURVEY §2.3); golden
+comparisons therefore run on deduplicated COO.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spgpu_tpu.convert.whdia import coo_to_whdia
+from spgpu_tpu.formats.coo import CooMatrix
+from spgpu_tpu.ops.pallas_kernels import whdia_spmv_pallas
+from spgpu_tpu.utils.fixtures import laplacian_2d, laplacian_3d, random_banded
+
+
+CASES = {
+    "laplace2d": lambda: laplacian_2d(23, 31, np.float32),
+    "laplace2d_wide": lambda: laplacian_2d(200, 30, np.float32),
+    "laplace3d": lambda: laplacian_3d(12, 11, 9, np.float32),
+    "banded": lambda: random_banded(900, bands=7, wander=13, seed=4, dtype=np.float32),
+    "banded_wide": lambda: random_banded(2000, bands=31, wander=0, seed=5, dtype=np.float32),
+    "banded_neg": lambda: random_banded(700, bands=5, wander=3, seed=6, dtype=np.float32),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_layout_roundtrip(name):
+    coo = CASES[name]().sum_duplicates()
+    a = coo_to_whdia(coo)
+    np.testing.assert_array_equal(a.to_dense(), coo.to_dense())
+    assert a.total_slots % 64 == 0
+    # every chunk belongs to one 8-hack group; r0 deltas fit the window
+    r0 = np.asarray(a.slot_r0)
+    assert r0.max() < 1024
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_spmv_matches_golden(name):
+    coo = CASES[name]().sum_duplicates()
+    a = coo_to_whdia(coo)
+    x = np.random.default_rng(0).standard_normal(coo.n_cols).astype(np.float32)
+    z = whdia_spmv_pallas(a, jnp.asarray(x), interpret=True)
+    ref = coo.spmv(x)
+    np.testing.assert_allclose(np.asarray(z), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_duplicates_last_write_wins():
+    i = np.arange(6, dtype=np.int64) % 3
+    coo = CooMatrix(i, i, np.asarray([1, 2, 3, 10, 20, 30], np.float32), 3, 3)
+    a = coo_to_whdia(coo)
+    d = a.to_dense()
+    np.testing.assert_array_equal(np.diag(d), [10, 20, 30])
+
+
+def test_alpha_beta_y():
+    coo = laplacian_2d(16, 16, np.float32).sum_duplicates()
+    a = coo_to_whdia(coo)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(coo.n_cols).astype(np.float32)
+    y = rng.standard_normal(coo.n_rows).astype(np.float32)
+    z = whdia_spmv_pallas(a, jnp.asarray(x), alpha=2.0, beta=0.5,
+                          y=jnp.asarray(y), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(z), 2.0 * coo.spmv(x) + 0.5 * y, rtol=2e-5, atol=2e-5
+    )
+
+
+def test_empty_matrix():
+    coo = CooMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                    np.zeros(0, np.float32), 200, 200)
+    a = coo_to_whdia(coo)
+    z = whdia_spmv_pallas(a, jnp.ones(200, jnp.float32), interpret=True)
+    np.testing.assert_array_equal(np.asarray(z), np.zeros(200, np.float32))
