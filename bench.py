@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from spgpu_tpu.core import hbm_bandwidth
-    from spgpu_tpu.convert import coo_to_whell
+    from spgpu_tpu.convert import coo_to_whell, local_degree_perm, symmetric_relabel
     from spgpu_tpu.ops import whell_spmv
     from spgpu_tpu.ops.blas1 import dot
     from spgpu_tpu.utils.fixtures import random_fem_like
@@ -44,6 +44,8 @@ def main():
 
     coo = random_fem_like(n, avg_nnz_per_row=27.0, span=768, far_frac=0.01,
                           seed=0, dtype=np.float32)
+    # solve-ready setup: windowed OELL ordering applied symmetrically
+    coo = symmetric_relabel(coo, local_degree_perm(coo))
     a = coo_to_whell(coo)
     nnz = coo.nnz
     x = jnp.asarray(np.random.default_rng(1).standard_normal(n), jnp.float32)
@@ -73,8 +75,8 @@ def main():
         t = min(t, (time.perf_counter() - t0) / iters)
 
     gflops = (2.0 * nnz - 1.0) / t * 1e-9
-    # actual traffic: value slab + packed index slab + x staged once + z.
-    slab = int(a.values.size) * (4 + 4)
+    # actual traffic: value slab + int8 residue/page-table slabs + x + z.
+    slab = int(a.values.size) * (4 + 1 + 1)
     bytes_moved = slab + n * 4 * 2
     bw = hbm_bandwidth(dev)
     vs = (bytes_moved / t) / bw if bw else 0.0

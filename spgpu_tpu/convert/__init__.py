@@ -9,6 +9,7 @@ there transparently.
 from spgpu_tpu.convert.whell import (
     coo_to_whell,
     degree_sort_perm,
+    local_degree_perm,
     symmetric_relabel,
 )
 from spgpu_tpu.convert.whdia import coo_to_whdia
@@ -33,6 +34,7 @@ __all__ = [
     "coo_to_whell",
     "coo_to_whdia",
     "degree_sort_perm",
+    "local_degree_perm",
     "symmetric_relabel",
     "bcoo_to_bhdia",
     "compute_dia_diagonals_count",

@@ -67,21 +67,28 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
     slot_diag = d_s[new_slot_flag]
 
     # --- greedy tiling: 8 slots/tile, same hack, spread <= _SPREAD ------
-    tile_of_slot = np.empty(n_slots, dtype=np.int64)
-    pos_of_slot = np.empty(n_slots, dtype=np.int64)
-    tile_hack_l, tile_d0_l = [], []
-    fill, cur_hack, d0 = 8, -2, 0
-    for i in range(n_slots):
-        h_i, d_i = slot_hack[i], slot_diag[i]
-        if fill == 8 or h_i != cur_hack or d_i - d0 > _SPREAD:
-            tile_hack_l.append(h_i)
-            tile_d0_l.append(d_i)
-            cur_hack, d0, fill = h_i, d_i, 0
-        tile_of_slot[i] = len(tile_hack_l) - 1
-        pos_of_slot[i] = fill
-        fill += 1
-    tile_hack_a = np.asarray(tile_hack_l, dtype=np.int64)
-    tile_d0_a = np.asarray(tile_d0_l, dtype=np.int64)
+    # Sequential scan: native C++ when available, Python fallback.
+    from spgpu_tpu import native as _native
+
+    nat = _native.whdia_tile(slot_hack, slot_diag, _SPREAD)
+    if nat is not None:
+        tile_of_slot, pos_of_slot, tile_hack_a, tile_d0_a = nat
+    else:
+        tile_of_slot = np.empty(n_slots, dtype=np.int64)
+        pos_of_slot = np.empty(n_slots, dtype=np.int64)
+        tile_hack_l, tile_d0_l = [], []
+        fill, cur_hack, d0 = 8, -2, 0
+        for i in range(n_slots):
+            h_i, d_i = slot_hack[i], slot_diag[i]
+            if fill == 8 or h_i != cur_hack or d_i - d0 > _SPREAD:
+                tile_hack_l.append(h_i)
+                tile_d0_l.append(d_i)
+                cur_hack, d0, fill = h_i, d_i, 0
+            tile_of_slot[i] = len(tile_hack_l) - 1
+            pos_of_slot[i] = fill
+            fill += 1
+        tile_hack_a = np.asarray(tile_hack_l, dtype=np.int64)
+        tile_d0_a = np.asarray(tile_d0_l, dtype=np.int64)
     n_raw_tiles = tile_hack_a.size
 
     # --- group hacks by 8; pad each group's tiles to whole chunks -------

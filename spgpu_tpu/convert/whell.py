@@ -1,13 +1,13 @@
 """COO → WHELL conversion (host-side, vectorised NumPy).
 
-Builds the page-per-slot windowed-HELL layout (see
-:mod:`spgpu_tpu.formats.whell`).  Entries are grouped by (hack, x-page);
-the group for page ``p`` inside a hack spans ``max_row |{entries of that
-row on page p}|`` slots, and each entry lands at (group base + its rank
-within its row on that page, row % 128).  Everything is sort + run-length
-arithmetic — no per-entry Python loop (the reference's conversions are
-single-threaded element walks, ``hell.c:46-104``; ours must convert
-multi-million-nnz matrices in seconds).
+Builds the mixed-page windowed-HELL layout (see
+:mod:`spgpu_tpu.formats.whell`).  Entries are grouped by (hack,
+superpage); slots are assigned per-row ranks and the single layout
+constraint — one page per (slot, residue) — is enforced by eviction
+rounds that move conflicting entries to later slots.  Everything is
+sort + run-length arithmetic over the whole entry set (the reference's
+conversions are single-threaded element walks, ``hell.c:46-104``; ours
+must convert multi-million-nnz matrices in seconds).
 """
 
 from __future__ import annotations
@@ -86,9 +86,10 @@ def coo_to_whell(
 
     ``sort_rows=True`` applies the OELL descending-degree ordering before
     hacking (``row_perm`` wins if both are given); note the resulting
-    per-product output scatter — prefer :func:`symmetric_relabel` for
-    solver use.  Duplicates are kept as separate cells (both contribute),
-    matching ``cooToEll`` (``ell.c:65-78``).
+    per-product output scatter — prefer :func:`symmetric_relabel` (or
+    :func:`local_degree_perm` + relabel) for solver use.  Duplicates are
+    kept as separate cells (both contribute), matching ``cooToEll``
+    (``ell.c:65-78``).
     """
     if row_perm is None and sort_rows:
         row_perm = degree_sort_perm(coo)
@@ -104,160 +105,166 @@ def coo_to_whell(
     val_dtype = vals_in.dtype
     num_hacks = max(-(-coo.n_rows // _HACK), 1)
     num_pages = max(-(-coo.n_cols // 128), 1)
+    nsp = -(-num_pages // 8)  # superpages (aligned 8-page windows)
     m = coo.nnz
 
     if m == 0:
-        return _empty_whell(coo, num_hacks, num_pages, val_dtype, row_perm)
+        return _empty_whell(coo, num_hacks, nsp, val_dtype, row_perm)
 
     hack = (eff_rows // _HACK).astype(np.int64)
     lane = (eff_rows % _HACK).astype(np.int64)
     page = (coo.cols // 128).astype(np.int64)
     resid = (coo.cols % 128).astype(np.int64)
+    spage = page // 8
+    delta = (page % 8).astype(np.int8)
 
-    # --- runs: one per (row, page) pair ---------------------------------
-    order = np.lexsort((coo.cols, page, eff_rows))
-    er_s, pg_s = eff_rows[order], page[order]
-    new_run = np.r_[True, (er_s[1:] != er_s[:-1]) | (pg_s[1:] != pg_s[:-1])]
-    run_of_entry = np.cumsum(new_run) - 1  # in sorted order
-    run_starts = np.flatnonzero(new_run)
-    k_sorted = np.arange(m) - run_starts[run_of_entry]  # rank within run
-    run_count = np.diff(np.r_[run_starts, m])
-    run_hack = hack[order][run_starts]
-    run_page = pg_s[run_starts]
+    # --- group per (hack, superpage); assign slots ----------------------
+    G = hack * nsp + spage
+    order = np.lexsort((coo.cols, eff_rows, G))  # by group, row, col
+    Gs = G[order]
+    res_s = resid[order]
+    del_s = delta[order].astype(np.int64)
 
-    # --- groups: one per (hack, page); width = max run count ------------
-    rkey = run_hack * num_pages + run_page
-    ro = np.argsort(rkey, kind="stable")
-    rk_s = rkey[ro]
-    new_grp = np.r_[True, rk_s[1:] != rk_s[:-1]]
-    grp_sorted_id = np.cumsum(new_grp) - 1
-    n_grp = grp_sorted_id[-1] + 1
-    grp_of_run = np.empty(run_count.size, dtype=np.int64)
-    grp_of_run[ro] = grp_sorted_id
-    g_width = np.zeros(n_grp, dtype=np.int64)
-    np.maximum.at(g_width, grp_of_run, run_count)
-    g_key = rk_s[new_grp]
-    g_hack = g_key // num_pages
-    g_page = g_key % num_pages
+    # Slot assignment under the one layout constraint (one page per
+    # (slot, residue)): native C++ first-fit when available; NumPy
+    # eviction rounds otherwise (same constraint, more padding).
+    from spgpu_tpu import native as _native
 
-    # --- naive slot layout: groups contiguous per hack -------------------
-    hack_tot = np.zeros(num_hacks, dtype=np.int64)
-    np.add.at(hack_tot, g_hack, g_width)
-    # within-hack exclusive cumsum of group widths (groups sorted by hack)
-    within = _excl_cumsum(g_width) - _excl_cumsum(hack_tot)[g_hack]
-    g_base = _excl_cumsum(hack_tot)[g_hack] + within  # naive (unpadded) base
-    n_naive = int(hack_tot.sum())
+    k = _native.whell_assign(Gs, lane[order], res_s, del_s)
+    if k is None:
+        rows_s = eff_rows[order]
+        rg_key_change = np.r_[True, (Gs[1:] != Gs[:-1])
+                              | (rows_s[1:] != rows_s[:-1])]
+        rg_starts = np.flatnonzero(rg_key_change)
+        rg_of = np.cumsum(rg_key_change) - 1
+        k = (np.arange(m) - rg_starts[rg_of]).astype(np.int64)
+        rg_count = np.diff(np.r_[rg_starts, m])
+        rg_top = rg_count.copy()
+        for _round in range(64):
+            key = (Gs * (k.max() + 1) + k) * 128 + res_s
+            o = np.argsort(key, kind="stable")
+            ks = key[o]
+            grp = np.r_[True, ks[1:] != ks[:-1]]
+            rep = np.repeat(del_s[o][grp],
+                            np.diff(np.r_[np.flatnonzero(grp), ks.size]))
+            conflict = np.zeros(m, dtype=bool)
+            conflict[o] = del_s[o] != rep
+            if not conflict.any():
+                break
+            ev = np.flatnonzero(conflict)
+            ev = ev[np.argsort(rg_of[ev], kind="stable")]
+            rg_ev = rg_of[ev]
+            st = np.flatnonzero(np.r_[True, rg_ev[1:] != rg_ev[:-1]])
+            within = np.arange(ev.size) - np.repeat(
+                st, np.diff(np.r_[st, ev.size]))
+            k[ev] = rg_top[rg_ev] + within
+            np.maximum.at(rg_top, rg_ev, k[ev] + 1)
+        else:  # terminal fallback: private slots for stragglers
+            key = (Gs * (k.max() + 1) + k) * 128 + res_s
+            o = np.argsort(key, kind="stable")
+            ks = key[o]
+            grp = np.r_[True, ks[1:] != ks[:-1]]
+            rep = np.repeat(del_s[o][grp],
+                            np.diff(np.r_[np.flatnonzero(grp), ks.size]))
+            conflict = np.zeros(m, dtype=bool)
+            conflict[o] = del_s[o] != rep
+            ev = np.flatnonzero(conflict)
+            k[ev] = k.max() + 1 + np.arange(ev.size)
 
-    # per-naive-slot page and hack
-    sp = np.empty(n_naive, dtype=np.int64)
-    sh = np.empty(n_naive, dtype=np.int64)
-    gw_base = _excl_cumsum(g_width)
-    flat = np.repeat(g_base, g_width) + (np.arange(int(g_width.sum()))
-                                         - np.repeat(gw_base, g_width))
-    sp[flat] = np.repeat(g_page, g_width)
-    sh[flat] = np.repeat(g_hack, g_width)
+    # --- group widths and slot layout -----------------------------------
+    g_first = np.r_[True, Gs[1:] != Gs[:-1]]
+    g_id = np.cumsum(g_first) - 1
+    n_grp = g_id[-1] + 1
+    W = np.zeros(n_grp, dtype=np.int64)
+    np.maximum.at(W, g_id, k + 1)
+    W8 = -(-W // 8) * 8  # groups pad to whole tiles (one window per tile)
+    g_G = Gs[g_first]
+    g_hack = g_G // nsp
+    g_sp = g_G % nsp
 
-    # --- chunk naive slots into 8-slot tiles with page span <= 8 ---------
-    # pages ascend within each hack, so span check is p - tile_base <= 7.
-    new_slot = np.empty(n_naive, dtype=np.int64)
-    tile_base_l, tile_hack_l = [], []
-    fill, cur_hack = 8, -1  # force a new tile at the first slot
-    base = 0
-    base_cap = max(num_pages - 8, 0)  # window must stay inside x2d
-    for i in range(n_naive):
-        p_i, h_i = sp[i], sh[i]
-        if fill == 8 or h_i != cur_hack or p_i - base > 7:
-            base = min(p_i, base_cap)
-            tile_base_l.append(base)
-            tile_hack_l.append(h_i)
-            cur_hack, fill = h_i, 0
-        new_slot[i] = (len(tile_base_l) - 1) * 8 + fill
-        fill += 1
-    tile_hack_a = np.asarray(tile_hack_l, dtype=np.int64)
-    tile_base_a = np.asarray(tile_base_l, dtype=np.int64)
-    t_order = np.argsort(tile_hack_a, kind="stable")
-
-    # --- pad each hack to whole 8-tile chunks (the kernel's grid unit) --
-    raw_tiles_per_hack = np.bincount(tile_hack_a, minlength=num_hacks)
-    pad_tiles_per_hack = np.maximum(-(-raw_tiles_per_hack // _CT) * _CT, _CT)
-    hack_tile_base = _excl_cumsum(pad_tiles_per_hack)
-    num_tiles = int(pad_tiles_per_hack.sum())
+    # hacks grouped by 8 for the output blocks; each 8-hack group's tile
+    # count pads to whole grid chunks (per-hack padding would put a
+    # CHUNK_TILES floor under every 128 rows).
+    num_groups = -(-num_hacks // 8)
+    raw_tiles_per_grp = W8 // 8
+    hack8 = g_hack // 8
+    tiles_per_g8 = np.zeros(num_groups, dtype=np.int64)
+    np.add.at(tiles_per_g8, hack8, raw_tiles_per_grp)
+    pad_tiles_per_g8 = np.maximum(-(-tiles_per_g8 // _CT) * _CT, _CT)
+    g8_base = _excl_cumsum(pad_tiles_per_g8)
+    num_tiles = int(pad_tiles_per_g8.sum())
     total_slots = num_tiles * 8
-    # final tile index of each raw tile: hack base + rank within hack
-    rank_in_hack = np.empty(t_order.size, dtype=np.int64)
-    rank_in_hack[t_order] = (np.arange(t_order.size)
-                             - _excl_cumsum(raw_tiles_per_hack)[tile_hack_a[t_order]])
-    tile_final = hack_tile_base[tile_hack_a] + rank_in_hack
+    within_t = (_excl_cumsum(raw_tiles_per_grp)
+                - _excl_cumsum(tiles_per_g8)[hack8])
+    g_tile0 = g8_base[hack8] + within_t
 
     # --- scatter entries -------------------------------------------------
-    ns_sorted = new_slot[g_base[grp_of_run[run_of_entry]] + k_sorted]
-    slot_final = tile_final[ns_sorted // 8] * 8 + ns_sorted % 8
-    packed = ((page[order] - tile_base_a[ns_sorted // 8]) * 128
-              + resid[order]).astype(np.int32)
+    slot = g_tile0[g_id] * 8 + k
     vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
-    # padding cells must still carry their slot's page (residue 0): the
-    # sublane gather reads the page column at ARBITRARY lanes, so every
-    # lane of a slot must agree on the page.
-    slot_delta = np.zeros(total_slots, dtype=np.int32)
-    naive_final = tile_final[new_slot // 8] * 8 + new_slot % 8
-    slot_delta[naive_final] = (sp - tile_base_a[new_slot // 8]).astype(np.int32)
-    res = np.broadcast_to(slot_delta[:, None] * 128, (total_slots, _HACK)).copy()
-    lane_sorted = lane[order]
-    vals[slot_final, lane_sorted] = vals_in[order]
-    res[slot_final, lane_sorted] = packed
+    res8 = np.zeros((total_slots, _HACK), dtype=np.int8)
+    pt8 = np.zeros((total_slots, 128), dtype=np.int8)
+    vals[slot, lane[order]] = vals_in[order]
+    res8[slot, lane[order]] = res_s.astype(np.int8)
+    pt8[slot, res_s] = del_s.astype(np.int8)
 
-    # per-final-tile scalars (pad tiles: base 0, value 0 -> contribute 0)
-    tile_base_f = np.zeros(num_tiles, dtype=np.int32)
-    tile_base_f[tile_final] = tile_base_a.astype(np.int32)
-    tile_hack_f = np.repeat(np.arange(num_hacks, dtype=np.int32),
-                            pad_tiles_per_hack)
-    chunk_hack = tile_hack_f[::_CT].copy()
-    hack_tile_off = np.zeros(num_hacks + 1, dtype=np.int32)
-    np.cumsum(pad_tiles_per_hack, out=hack_tile_off[1:])
+    # --- per-tile scalars ------------------------------------------------
+    tile_base = np.zeros(num_tiles, dtype=np.int32)
+    tile_hh = np.zeros(num_tiles, dtype=np.int32)
+    g_tiles_idx = np.repeat(g_tile0, raw_tiles_per_grp) + (
+        np.arange(int(raw_tiles_per_grp.sum()))
+        - np.repeat(_excl_cumsum(raw_tiles_per_grp), raw_tiles_per_grp))
+    tile_base[g_tiles_idx] = np.repeat(
+        (g_sp * 8).astype(np.int32), raw_tiles_per_grp)
+    tile_hh[g_tiles_idx] = np.repeat(
+        (g_hack % 8).astype(np.int32), raw_tiles_per_grp)
+    chunk_group = np.repeat(np.arange(num_groups, dtype=np.int32),
+                            pad_tiles_per_g8 // _CT)
 
     import jax.numpy as jnp
 
     perm_arr = None
     if row_perm is not None:
-        perm_p = np.arange(num_hacks * _HACK, dtype=np.int32)
+        perm_p = np.arange(num_groups * 8 * _HACK, dtype=np.int32)
         perm_p[: row_perm.size] = row_perm
         perm_arr = jnp.asarray(perm_p)
 
     return WhellMatrix(
         values=jnp.asarray(vals),
-        residue=jnp.asarray(res),
-        tile_base=jnp.asarray(tile_base_f),
-        tile_hack=jnp.asarray(tile_hack_f),
-        chunk_hack=jnp.asarray(chunk_hack),
-        hack_tile_off=jnp.asarray(hack_tile_off),
+        residue=jnp.asarray(res8),
+        page_tab=jnp.asarray(pt8),
+        tile_base=jnp.asarray(tile_base),
+        tile_hh=jnp.asarray(tile_hh),
+        chunk_group=jnp.asarray(chunk_group),
         row_perm=perm_arr,
         n_rows=coo.n_rows,
         n_cols=coo.n_cols,
         num_hacks=num_hacks,
+        num_groups=num_groups,
         total_slots=total_slots,
         nnz=m,
-        x_pages=max(num_pages, 8),
+        x_pages=nsp * 8,
     )
 
 
-def _empty_whell(coo, num_hacks, num_pages, val_dtype, row_perm):
+def _empty_whell(coo, num_hacks, nsp, val_dtype, row_perm):
     import jax.numpy as jnp
 
-    total = num_hacks * _CT * 8
+    num_groups = -(-num_hacks // 8)
+    total = num_groups * _CT * 8
     perm_arr = None
     if row_perm is not None:
-        perm_p = np.arange(num_hacks * _HACK, dtype=np.int32)
+        perm_p = np.arange(num_groups * 8 * _HACK, dtype=np.int32)
         perm_p[: np.asarray(row_perm).size] = row_perm
         perm_arr = jnp.asarray(perm_p)
     return WhellMatrix(
-        values=jnp.zeros((num_hacks * _CT * 8, _HACK), val_dtype),
-        residue=jnp.zeros((num_hacks * _CT * 8, _HACK), jnp.int32),
-        tile_base=jnp.zeros((num_hacks * _CT,), jnp.int32),
-        tile_hack=jnp.repeat(jnp.arange(num_hacks, dtype=jnp.int32), _CT),
-        chunk_hack=jnp.arange(num_hacks, dtype=jnp.int32),
-        hack_tile_off=jnp.asarray(
-            np.arange(num_hacks + 1, dtype=np.int32) * _CT),
+        values=jnp.zeros((total, _HACK), val_dtype),
+        residue=jnp.zeros((total, _HACK), jnp.int8),
+        page_tab=jnp.zeros((total, 128), jnp.int8),
+        tile_base=jnp.zeros((num_groups * _CT,), jnp.int32),
+        tile_hh=jnp.zeros((num_groups * _CT,), jnp.int32),
+        chunk_group=jnp.arange(num_groups, dtype=jnp.int32),
         row_perm=perm_arr,
         n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
-        total_slots=total, nnz=0, x_pages=max(num_pages, 8),
+        num_groups=num_groups, total_slots=total, nnz=0,
+        x_pages=max(nsp * 8, 8),
     )

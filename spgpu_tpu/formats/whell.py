@@ -5,44 +5,37 @@ reference's HELL format played for GPUs
 (``/root/reference/src/core/hell.h:26-59``): a layout shaped by what the
 hardware's memory system can do fast.  The CUDA HELL kernel does one
 arbitrary ``x[rP[i]]`` gather per nonzero and leans on the texture cache
-(``hell_spmv_base.cuh:64-75``).  TPUs have no such cache — Mosaic's only
-vectorised gather is ``take_along_axis`` along the 128-lane axis, which
-shuffles arbitrarily *within* an aligned 128-element window.
+(``hell_spmv_base.cuh:64-75``).  TPUs have no such cache — Mosaic's
+vectorised gathers are ``take_along_axis`` along sublanes (8-tall
+tables) and along lanes (within 128-element windows).
 
-WHELL restructures HELL around that primitive ("page-per-slot" layout):
+WHELL restructures HELL around that primitive pair:
 
 * rows are hacked by 128 (one hack = one lane vector), as in HELL;
-* ``x`` is viewed as pages of 128 (``x2d[p, l] = x[128p + l]``);
-* within a hack, entries are grouped by the page their column falls in;
-  the group for page ``p`` occupies ``max_r |{entries of row r on page
-  p}|`` consecutive slots, every entry stored at
-  ``(group_base + rank_within_row, row % 128)`` — so each slot touches
-  exactly ONE page;
-* slots are chunked into 8-slot tiles whose pages must span at most 8
-  consecutive x pages (padding slots are inserted at span breaks); the
-  tile's first page is the per-tile scalar ``tile_base`` and each cell
-  stores ``(page - tile_base) * 128 + (col % 128)`` — a 10-bit packed
-  index.
+* ``x`` is viewed as pages of 128 (``x2d[p, l] = x[128p + l]``) and
+  windows of 8 aligned pages ("superpages", 1024 elements — exactly one
+  sublane-gather table);
+* within a hack, entries are grouped by superpage; inside a group each
+  entry occupies a (slot, lane=row%128) cell, slots assigned greedily
+  under ONE constraint: a slot may not hold two entries with the same
+  column residue (``col % 128``) but different pages — because the
+  kernel resolves pages through a per-slot *residue-indexed* page table:
 
-The SpMV kernel computes, per (8-slot × 128-row) tile::
+      win8       = x2d[tile_base : tile_base+8]       # one dynamic slice
+      h1[s, l]   = win8[page_tab[s, l], l]            # sublane gather
+      x_at[s, j] = h1[s, residue[s, j]]               # lane gather
 
-    win8       = x2d[tile_base[t] : tile_base[t]+8]    # ONE dynamic slice
-    h1[s, j]   = win8[packed[s, j] >> 7, j]            # sublane gather
-    x_at[s, j] = h1[s, packed[s, j] & 127]             # lane gather
-    z[hack]   += sum_s values[s, j] * x_at[s, j]
+  ``page_tab[s, l]`` is "the page of the cell in slot s whose residue is
+  l" — well-defined exactly when the constraint holds (conflicting
+  entries are evicted to later slots at conversion time; structured
+  matrices rarely conflict, random ones settle at ~60-70 %% slot
+  occupancy);
+* slots are chunked into 8-slot tiles (tile_base = the group's
+  superpage) and hacks padded to whole grid chunks.
 
-(The sublane-gather index is constant along each slot row — page is
-per-slot — which is exactly the condition making the two-gather chain
-exact.)
-
-Per-cell storage: value (4 B) + packed index (int32 now, logically 10
-bits).
-Padding cells carry value 0 so they contribute nothing.  Hack slot
-counts are padded to 8 (the tile height).  Slot counts grow with the
-number of *distinct pages* a hack's rows touch — small for matrices with
-column locality (stencil / banded / FEM, the library's domain), large
-for uniformly-random columns (documented; every blocked sparse format on
-every architecture degrades there).
+Per-cell storage: value (4 B) + residue (int8) + page-table entry
+(int8) = 6 B for fp32.  Padding cells carry value 0 so they contribute
+nothing.
 """
 
 from __future__ import annotations
@@ -57,29 +50,30 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class WhellMatrix:
-    # slab data, slot-major: shape (total_slots, 128); total_slots % 8 == 0
+    # slab data, slot-major: shape (total_slots, 128)
     values: jax.Array  # float
-    residue: jax.Array  # int32: (page - tile_base) * 128 + col % 128
+    residue: jax.Array  # int8 in [0, 128): col %% 128 of each cell
+    page_tab: jax.Array  # int8 in [0, 8): page delta, indexed by RESIDUE
     # per-tile scalars (SMEM-prefetched; one entry per 8-slot tile)
-    tile_base: jax.Array  # (num_tiles,) int32: first x page of tile
-    tile_hack: jax.Array  # (num_tiles,) int32: output hack of tile
-    chunk_hack: jax.Array  # (num_tiles // 8,) int32: hack of each 8-tile
-    #   grid chunk (chunks never straddle hacks)
-    hack_tile_off: jax.Array  # (num_hacks + 1,) int32: tiles of hack h are
-    #   [hack_tile_off[h], hack_tile_off[h+1]) — the HELL hackOffsets
-    #   analogue (hell.h:37-43), in tile units
+    tile_base: jax.Array  # (num_tiles,) int32: first x page of tile window
+    tile_hh: jax.Array  # (num_tiles,) int32: hack index within its 8-hack
+    #   output group (the HELL hackOffsets role, hell.h:37-43, is played
+    #   by the tile ordering: a group's tiles are contiguous)
+    chunk_group: jax.Array  # (num_chunks,) int32: 8-hack group of chunk
     # row permutation (stored-row -> original-row) or None
     row_perm: Optional[jax.Array]
     # static metadata
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
     num_hacks: int = dataclasses.field(metadata=dict(static=True))
+    num_groups: int = dataclasses.field(metadata=dict(static=True))
     total_slots: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     #: rows of the kernel's x2d operand; static so jit never reads data.
     x_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
 
     hack_size = 128  # lane width; fixed by the layout
+    group_hacks = 8  # hacks per output z block
 
     @property
     def shape(self):
@@ -95,14 +89,14 @@ class WhellMatrix:
 
     @property
     def rows_padded(self) -> int:
-        return self.num_hacks * 128
+        return self.num_groups * self.group_hacks * 128
 
     @property
     def storage_bytes(self) -> int:
         n = self.values.size * self.values.dtype.itemsize
-        n += self.residue.size * 4
-        n += (self.tile_base.size + self.tile_hack.size
-              + self.chunk_hack.size + self.hack_tile_off.size) * 4
+        n += self.residue.size + self.page_tab.size  # int8 each
+        n += (self.tile_base.size + self.tile_hh.size
+              + self.chunk_group.size) * 4
         if self.row_perm is not None:
             n += self.row_perm.size * 4
         return int(n)
@@ -110,9 +104,13 @@ class WhellMatrix:
     def to_dense(self) -> np.ndarray:
         """Host densification (testing helper; duplicates add)."""
         vals = np.asarray(self.values)
-        res = np.asarray(self.residue)
+        res = np.asarray(self.residue).astype(np.int64)
+        pt = np.asarray(self.page_tab).astype(np.int64)
         tb = np.asarray(self.tile_base)
-        th = np.asarray(self.tile_hack)
+        hh = np.asarray(self.tile_hh)
+        cg = np.asarray(self.chunk_group)
+        from spgpu_tpu.core import CHUNK_TILES as _CT
+
         out = np.zeros((self.n_rows, self.n_cols), dtype=vals.dtype)
         lane = np.arange(128)
         for s in range(self.total_slots):
@@ -120,8 +118,11 @@ class WhellMatrix:
             nzm = v != 0
             if not nzm.any():
                 continue
-            col = (tb[s // 8] + (res[s] >> 7)) * 128 + (res[s] & 127)
-            row = th[s // 8] * 128 + lane
+            t = s // 8
+            r = res[s]
+            col = (tb[t] + pt[s, r]) * 128 + r
+            hack = cg[t // _CT] * self.group_hacks + hh[t]
+            row = hack * 128 + lane
             ok = nzm & (row < self.rows_padded) & (col < self.n_cols)
             np.add.at(out, (self._orig_row(row[ok]), col[ok]), v[ok])
         return out

@@ -1,0 +1,121 @@
+"""Native (C++) acceleration for conversion inner loops.
+
+The reference's runtime around the CUDA kernels is C/C++
+(``/root/reference/src/core/*.c``); the analogous native component here
+is the sequential greedy tile-chunking scans of the WHELL/WHDIA layout
+builders, compiled from :file:`conversion.cpp` on first use with the
+system ``g++`` and bound via :mod:`ctypes`.  Everything degrades
+gracefully to the pure-NumPy/Python path when no compiler is available
+(``SPGPU_TPU_NO_NATIVE=1`` forces the fallback).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["available", "whell_assign", "whell_chunk_tiles", "whdia_tile"]
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "conversion.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "_libspgpu_native.so")
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("SPGPU_TPU_NO_NATIVE"):
+            return None
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"],
+                    check=True, capture_output=True, timeout=120,
+                )
+                os.replace(_SO + ".tmp", _SO)
+            lib = ctypes.CDLL(_SO)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.whell_chunk_tiles.restype = ctypes.c_int64
+            lib.whell_chunk_tiles.argtypes = [i64p, i64p, ctypes.c_int64,
+                                              ctypes.c_int64, i64p, i64p, i64p]
+            lib.whell_assign.restype = None
+            lib.whell_assign.argtypes = [i64p, i64p, i64p, i64p,
+                                         ctypes.c_int64, i64p]
+            lib.whdia_tile.restype = ctypes.c_int64
+            lib.whdia_tile.argtypes = [i64p, i64p, ctypes.c_int64,
+                                       ctypes.c_int64, i64p, i64p, i64p, i64p]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def whell_chunk_tiles(sp: np.ndarray, sh: np.ndarray, base_cap: int):
+    """Native greedy tiling; returns (new_slot, tile_base, tile_hack)
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = sp.size
+    sp = np.ascontiguousarray(sp, dtype=np.int64)
+    sh = np.ascontiguousarray(sh, dtype=np.int64)
+    new_slot = np.empty(n, dtype=np.int64)
+    tb = np.empty(max(n, 1), dtype=np.int64)
+    th = np.empty(max(n, 1), dtype=np.int64)
+    nt = lib.whell_chunk_tiles(_p(sp), _p(sh), n, base_cap,
+                               _p(new_slot), _p(tb), _p(th))
+    return new_slot, tb[:nt], th[:nt]
+
+
+def whdia_tile(slot_hack: np.ndarray, slot_diag: np.ndarray, spread: int):
+    """Native greedy HDIA tiling; returns (tile_of_slot, pos_of_slot,
+    tile_hack, tile_d0) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = slot_hack.size
+    sh = np.ascontiguousarray(slot_hack, dtype=np.int64)
+    sd = np.ascontiguousarray(slot_diag, dtype=np.int64)
+    tos = np.empty(n, dtype=np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    th = np.empty(max(n, 1), dtype=np.int64)
+    td = np.empty(max(n, 1), dtype=np.int64)
+    nt = lib.whdia_tile(_p(sh), _p(sd), n, spread, _p(tos), _p(pos),
+                        _p(th), _p(td))
+    return tos, pos, th[:nt], td[:nt]
+
+
+def whell_assign(G: np.ndarray, lane: np.ndarray, res: np.ndarray,
+                 dlt: np.ndarray):
+    """Native first-fit slot assignment; returns per-entry slot indices
+    (within their group) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = G.size
+    G = np.ascontiguousarray(G, dtype=np.int64)
+    lane = np.ascontiguousarray(lane, dtype=np.int64)
+    res = np.ascontiguousarray(res, dtype=np.int64)
+    dlt = np.ascontiguousarray(dlt, dtype=np.int64)
+    out = np.empty(m, dtype=np.int64)
+    lib.whell_assign(_p(G), _p(lane), _p(res), _p(dlt), m, _p(out))
+    return out

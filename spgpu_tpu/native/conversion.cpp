@@ -1,0 +1,152 @@
+// Native conversion kernels — the sequential inner loops of the
+// COO → WHELL / WHDIA layout builders (spgpu_tpu/convert/{whell,whdia}.py).
+//
+// The reference's conversions are single-threaded C/C++ element walks
+// (/root/reference/src/core/hell.c:46-104, hdia.cpp:68-153); our
+// conversions are vectorised NumPy except for the greedy tile-chunking
+// scans, which are inherently sequential (each decision depends on the
+// running tile state).  Those scans live here: a Python loop over a
+// million slots costs seconds, this costs milliseconds.
+//
+// Build: g++ -O3 -shared -fPIC conversion.cpp -o libspgpu_native.so
+// (driven by spgpu_tpu/native/__init__.py at first use).
+
+#include <cstdint>
+
+extern "C" {
+
+// Greedy 8-slot tiling for WHELL (page-per-slot layout).
+//
+// Walk per-slot (page, hack) pairs in order; start a new tile when the
+// current one is full (8 slots), the hack changes, or the incoming
+// slot's page falls outside the tile's 8-page window.  Pages ascend
+// within a hack, so the span check is p - base > 7.
+//
+// Outputs: new_slot[i] = naive slot i's position in tile units
+// (tile*8 + fill); tile_base/tile_hack per created tile (caller sizes
+// them to n, the worst case).  Returns the number of tiles created.
+int64_t whell_chunk_tiles(
+    const int64_t* sp,       // [n] per-naive-slot page (ascending per hack)
+    const int64_t* sh,       // [n] per-naive-slot hack
+    int64_t n,
+    int64_t base_cap,        // max window base page (x2d bound)
+    int64_t* new_slot,       // [n] out
+    int64_t* tile_base,      // [>= n] out
+    int64_t* tile_hack       // [>= n] out
+) {
+    int64_t ntiles = 0;
+    int64_t fill = 8, cur_hack = -1, base = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t p = sp[i], h = sh[i];
+        if (fill == 8 || h != cur_hack || p - base > 7) {
+            base = p < base_cap ? p : base_cap;
+            tile_base[ntiles] = base;
+            tile_hack[ntiles] = h;
+            ++ntiles;
+            cur_hack = h;
+            fill = 0;
+        }
+        new_slot[i] = (ntiles - 1) * 8 + fill;
+        ++fill;
+    }
+    return ntiles;
+}
+
+// Greedy 8-slot tiling for WHDIA: one slot per occupied (hack,
+// diagonal); a new tile starts when full, the hack changes, or the
+// diagonal spread exceeds `spread` (so every valid cell's window index
+// stays inside the tile's 8 x pages).
+int64_t whdia_tile(
+    const int64_t* slot_hack,  // [n] ascending
+    const int64_t* slot_diag,  // [n] ascending within hack
+    int64_t n,
+    int64_t spread,
+    int64_t* tile_of_slot,     // [n] out
+    int64_t* pos_of_slot,      // [n] out
+    int64_t* tile_hack,        // [>= n] out
+    int64_t* tile_d0           // [>= n] out
+) {
+    int64_t ntiles = 0;
+    int64_t fill = 8, cur_hack = -2, d0 = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t h = slot_hack[i], d = slot_diag[i];
+        if (fill == 8 || h != cur_hack || d - d0 > spread) {
+            tile_hack[ntiles] = h;
+            tile_d0[ntiles] = d;
+            ++ntiles;
+            cur_hack = h;
+            d0 = d;
+            fill = 0;
+        }
+        tile_of_slot[i] = ntiles - 1;
+        pos_of_slot[i] = fill;
+        ++fill;
+    }
+    return ntiles;
+}
+
+}  // extern "C"
+
+#include <vector>
+#include <cstring>
+
+extern "C" {
+
+// First-fit slot assignment for WHELL mixed-page groups.
+//
+// Entries arrive sorted by (group, row, col).  Within a group, a slot
+// may hold at most one entry per lane, and its residue -> page map must
+// stay a function.  First-fit with per-lane scan hints replaces the
+// NumPy eviction rounds (which re-collide and need many passes).
+//
+// Returns the total number of slots used across groups via slot_out
+// (per-entry slot index WITHIN its group).
+void whell_assign(
+    const int64_t* G,     // [m] group ids (non-decreasing)
+    const int64_t* lane,  // [m] 0..127
+    const int64_t* res,   // [m] 0..127
+    const int64_t* dlt,   // [m] 0..7
+    int64_t m,
+    int64_t* slot_out     // [m] out: slot within group
+) {
+    std::vector<int8_t> ptab;        // [nslots][128] page per residue, -1 unset
+    std::vector<unsigned char> used; // [nslots][128] lane occupancy
+    int64_t next_lane_slot[128];     // per-lane first candidate slot
+    int64_t nslots = 0;
+    int64_t cur_g = -1;
+
+    auto grow = [&](int64_t s) {
+        while (nslots <= s) {
+            ptab.resize((nslots + 1) * 128, -1);
+            used.resize((nslots + 1) * 128, 0);
+            ++nslots;
+        }
+    };
+
+    for (int64_t i = 0; i < m; ++i) {
+        if (G[i] != cur_g) {
+            cur_g = G[i];
+            ptab.clear();
+            used.clear();
+            nslots = 0;
+            for (int l = 0; l < 128; ++l) next_lane_slot[l] = 0;
+        }
+        const int64_t ln = lane[i], r = res[i];
+        const int8_t d = (int8_t)dlt[i];
+        int64_t s = next_lane_slot[ln];
+        for (;; ++s) {
+            grow(s);
+            if (used[s * 128 + ln]) continue;
+            int8_t& pr = ptab[s * 128 + r];
+            if (pr == -1 || pr == d) {
+                pr = d;
+                used[s * 128 + ln] = 1;
+                break;
+            }
+        }
+        slot_out[i] = s;
+        next_lane_slot[ln] = s + 1;
+    }
+}
+
+}  // extern "C"

@@ -48,16 +48,15 @@ def supports(fmt: str, a, dtype) -> bool:
 from spgpu_tpu.core import CHUNK_TILES as _CHUNK_TILES  # tiles per grid step
 
 
-def _whell_kernel(tbase_ref, chack_ref, vals_ref, res_ref, x_hbm_ref,
-                  z_ref, x_vmem, xsem):
-    """Grid = one step per 64-slot chunk (Pallas double-buffers the
-    128 KB of slab blocks per step — big enough that per-DMA latency is
-    amortised; 8 KB blocks run latency-bound at ~33 GB/s).  Each chunk
-    belongs to exactly one hack (conversion pads hacks to whole chunks);
-    z accumulates across a hack's chunks and is zeroed on its first."""
+def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
+                  pt_ref, x_hbm_ref, z_ref, x_vmem, xsem):
+    """Grid = one step per chunk (CHUNK_TILES tiles; blocks must be 100s
+    of KB — per-grid-step overhead on v5e is ~0.3-0.5 us).  The z block
+    covers an 8-hack group; tiles accumulate into their hack's row of it
+    (same structure as the WHDIA kernel).  x is staged into a persistent
+    VMEM scratch once per call."""
     c = pl.program_id(0)
 
-    # stage x into VMEM exactly once; the scratch persists across steps.
     @pl.when(c == 0)
     def _():
         dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
@@ -65,40 +64,43 @@ def _whell_kernel(tbase_ref, chack_ref, vals_ref, res_ref, x_hbm_ref,
         dma.wait()
 
     first = jnp.logical_or(
-        c == 0, chack_ref[c] != chack_ref[jnp.maximum(c - 1, 0)]
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
     )
 
     @pl.when(first)
     def _():
         z_ref[:] = jnp.zeros_like(z_ref)
 
-    acc = jnp.zeros((8, 128), vals_ref.dtype)
     for k in range(_CHUNK_TILES):
-        win8 = x_vmem[pl.ds(tbase_ref[c * _CHUNK_TILES + k], 8), :]
-        packed = res_ref[k * 8:(k + 1) * 8, :]
-        page = jax.lax.shift_right_logical(packed, jnp.int32(7))  # per-slot constant
-        res = jax.lax.bitwise_and(packed, jnp.int32(127))
-        # page routing (sublane gather; index constant along each slot
-        # row, which makes the two-gather chain exact), then residue pick
-        h1 = jnp.take_along_axis(win8, page, axis=0)
+        t = c * _CHUNK_TILES + k
+        win8 = x_vmem[pl.ds(tbase_ref[t], 8), :]
+        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        # page routing (sublane gather through the residue-indexed page
+        # table), then residue pick (lane gather)
+        h1 = jnp.take_along_axis(win8, pt, axis=0)
         g = jnp.take_along_axis(h1, res, axis=1)
-        acc = acc + vals_ref[k * 8:(k + 1) * 8, :] * g
-    z_ref[:] += acc[None]
+        contrib = vals_ref[k * 8:(k + 1) * 8, :] * g
+        z_ref[pl.ds(thh_ref[t], 1), :, :] += contrib[None]
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_hacks", "x_pages", "interpret"))
-def _whell_spmv_call(values, residue, tile_base, chunk_hack, x2d, *,
-                     num_tiles, num_hacks, x_pages, interpret=False):
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "interpret"))
+def _whell_spmv_call(values, residue, page_tab, tile_base, tile_hh,
+                     chunk_group, x2d, *, num_tiles, num_groups, x_pages,
+                     interpret=False):
     num_chunks = num_tiles // _CHUNK_TILES
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda c, tb, ch: (ch[c], 0, 0)),
+        out_specs=pl.BlockSpec(
+            (8, 8, 128), lambda c, tb, th, cg: (cg[c], 0, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((x_pages, 128), values.dtype),
             pltpu.SemaphoreType.DMA,
@@ -107,14 +109,14 @@ def _whell_spmv_call(values, residue, tile_base, chunk_hack, x2d, *,
     acc = pl.pallas_call(
         _whell_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_hacks, 8, 128), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_groups * 8, 8, 128), values.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128,
-            bytes_accessed=num_tiles * 8 * 128 * 8 + x_pages * 128 * 4,
+            bytes_accessed=num_tiles * 8 * 128 * 6 + x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(tile_base, chunk_hack, values, residue, x2d)
+    )(tile_base, tile_hh, chunk_group, values, residue, page_tab, x2d)
     return acc.sum(axis=1)
 
 
@@ -226,8 +228,9 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     """
     x2d = _prep_x(x, a.n_cols, a.x_pages)
     z = _whell_spmv_call(
-        a.values, a.residue, a.tile_base, a.chunk_hack, x2d,
-        num_tiles=a.num_tiles, num_hacks=a.num_hacks, x_pages=a.x_pages,
+        a.values, a.residue, a.page_tab, a.tile_base, a.tile_hh,
+        a.chunk_group, x2d,
+        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
         interpret=interpret,
     )
     acc = z.reshape(-1)

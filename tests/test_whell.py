@@ -42,13 +42,15 @@ def test_layout_roundtrip(name):
     coo = CASES[name]()
     a = coo_to_whell(coo)
     np.testing.assert_array_equal(a.to_dense(), coo.to_dense())
-    assert a.total_slots % 64 == 0  # whole chunks
-    # chunks never straddle hacks
-    th = np.asarray(a.tile_hack)
-    assert (th.reshape(-1, 8) == th.reshape(-1, 8)[:, :1]).all()
-    # per-slot page deltas stay in the 8-page window
-    res = np.asarray(a.residue)
-    assert res.min() >= 0 and (res >> 7).max() < 8
+    from spgpu_tpu.core import CHUNK_TILES
+
+    assert a.total_slots % (CHUNK_TILES * 8) == 0  # whole chunks
+    # chunks never straddle 8-hack output groups
+    cg = np.asarray(a.chunk_group)
+    assert (np.diff(cg) >= 0).all()
+    # page-table deltas stay inside the 8-page window; residues 7-bit
+    assert np.asarray(a.residue).min() >= 0
+    assert int(np.asarray(a.page_tab).max()) < 8
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
