@@ -1,0 +1,231 @@
+"""Benchmark harness implementation.
+
+``run_config`` measures one (matrix, format) pair; ``run_suite`` covers
+the BASELINE.json config classes:
+
+* ELL fp64/fp32 on a 2-D 5-point Laplacian (CPU-runnable config);
+* WHELL (the HELL-class Pallas path) on irregular FEM-profile matrices;
+* WHDIA (the HDIA-class Pallas path) on banded matrices;
+* BLAS-1 + 8-RHS multivector suite;
+* XLA fallback paths for cross-checking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchResult:
+    config: str
+    fmt: str
+    n_rows: int
+    nnz: int
+    storage_bytes: int
+    pad_factor: float
+    t_avg_s: float
+    gflops: float
+    eff_bandwidth_gbs: float
+    roofline_frac: Optional[float]
+    checksum: float
+
+    def json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["t_avg_s"] = round(self.t_avg_s, 9)
+        for k in ("gflops", "eff_bandwidth_gbs", "pad_factor"):
+            d[k] = round(d[k], 3)
+        if d["roofline_frac"] is not None:
+            d["roofline_frac"] = round(d["roofline_frac"], 4)
+        return json.dumps(d)
+
+
+def _time_chained(spmv: Callable, a, x, iters: int) -> float:
+    """One jitted chained loop; fence via host readback (axon's
+    block_until_ready does not synchronise — bench.py module note)."""
+    import jax
+    import jax.numpy as jnp
+
+    scale = jnp.asarray(1e-3, x.dtype)
+
+    @jax.jit
+    def timed(a, x0):
+        def body(_, c):
+            return spmv(a, c) * scale
+
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    float(timed(a, x).sum())  # compile + execute fence
+    t = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(timed(a, x).sum())
+        t = min(t, (time.perf_counter() - t0) / iters)
+    return t
+
+
+def run_config(
+    config: str,
+    fmt: str,
+    coo,
+    convert: Callable,
+    spmv: Callable,
+    traffic_bytes: Callable,
+    iters: int = 20,
+    seed: int = 1,
+) -> BenchResult:
+    """Measure one (matrix, format) pair with the §3.5 protocol."""
+    import jax
+    import jax.numpy as jnp
+
+    from spgpu_tpu.core import hbm_bandwidth
+    from spgpu_tpu.ops.blas1 import dot
+
+    a = convert(coo)
+    x = jnp.asarray(
+        np.random.default_rng(seed).standard_normal(coo.n_cols),
+        coo.values.dtype,
+    )
+    z = spmv(a, x)  # warm-up
+    checksum = float(dot(z, z))
+    t = _time_chained(spmv, a, x, iters)
+    nnz = coo.nnz
+    gflops = (2.0 * nnz - 1.0) / t * 1e-9
+    bytes_moved = traffic_bytes(a, coo)
+    bw = hbm_bandwidth()
+    pad = getattr(a, "values", np.zeros(1))
+    pad_factor = (pad.size / max(nnz, 1)) if hasattr(pad, "size") else 0.0
+    return BenchResult(
+        config=config,
+        fmt=fmt,
+        n_rows=coo.n_rows,
+        nnz=nnz,
+        storage_bytes=int(getattr(a, "storage_bytes", 0)),
+        pad_factor=float(pad_factor),
+        t_avg_s=t,
+        gflops=gflops,
+        eff_bandwidth_gbs=bytes_moved / t / 1e9,
+        roofline_frac=(bytes_moved / t) / bw if bw else None,
+        checksum=checksum,
+    )
+
+
+def run_suite(size: str = "small", out=print):
+    """Run the BASELINE config classes; emits one JSON line per result.
+
+    ``size``: "small" (CPU/CI-friendly) or "chip" (full single-chip
+    sizes).  Returns the list of :class:`BenchResult`.
+    """
+    import jax
+
+    from spgpu_tpu.convert import (
+        coo_to_ell,
+        coo_to_whdia,
+        coo_to_whell,
+        local_degree_perm,
+        symmetric_relabel,
+    )
+    from spgpu_tpu.ops import ell_spmv, whdia_spmv, whell_spmv
+    from spgpu_tpu.utils.fixtures import (
+        laplacian_2d,
+        random_banded,
+        random_fem_like,
+    )
+
+    big = size == "chip"
+    on_tpu = jax.default_backend() == "tpu"
+    fp = np.float32 if on_tpu else np.float64
+
+    results = []
+
+    def emit(r):
+        results.append(r)
+        out(r.json())
+
+    # -- ELL on the Laplacian (XLA path; CPU-runnable golden config).
+    # Kept small even on chip: the XLA gather lowering is the documented
+    # slow path and big instances compile for minutes.
+    lap = laplacian_2d(64 if big else 48, 64 if big else 48, fp)
+    isz = np.dtype(fp).itemsize
+    emit(run_config(
+        "laplacian_2d", "ell_xla", lap, coo_to_ell,
+        lambda a, x: ell_spmv(a, x, impl="xla"),
+        lambda a, coo: a.values.size * (isz + 4) + coo.n_rows * isz * 2,
+        iters=5,
+    ))
+
+    # -- WHELL on FEM-profile irregular (the HELL-class flagship) --------
+    fem0 = random_fem_like(
+        (1 << 18) if big else 20000, 27.0,
+        span=768, far_frac=0.01, seed=0, dtype=np.float32,
+    )
+    fem = symmetric_relabel(fem0, local_degree_perm(fem0))
+    emit(run_config(
+        "fem_irregular", "whell_pallas", fem, coo_to_whell,
+        lambda a, x: whell_spmv(a, x),
+        lambda a, coo: a.values.size * 6 + coo.n_rows * 8,
+        iters=30 if big else 5,
+    ))
+
+    # -- WHDIA on banded (the HDIA-class config) -------------------------
+    band = random_banded(
+        (1 << 19) if big else 20000, bands=11, wander=7, seed=2,
+        dtype=np.float32,
+    ).sum_duplicates()
+    emit(run_config(
+        "banded", "whdia_pallas", band, coo_to_whdia,
+        lambda a, x: whdia_spmv(a, x),
+        lambda a, coo: a.values.size * 4 + coo.n_rows * 8,
+        iters=30 if big else 5,
+    ))
+
+    # -- 8-RHS SpMM through the XLA multivector path (small instance —
+    # the XLA gather path is the documented slow one) --------------------
+    fem_s = random_fem_like(20000, 27.0, span=768, far_frac=0.01, seed=0,
+                            dtype=np.float32)
+    emit(_run_spmm8(fem_s, out=None))
+
+    return results
+
+
+def _run_spmm8(coo, out=None):
+    import jax
+    import jax.numpy as jnp
+
+    from spgpu_tpu.convert import coo_to_hell
+    from spgpu_tpu.core import hbm_bandwidth
+    from spgpu_tpu.ops import hell_spmv
+    from spgpu_tpu.ops.blas1 import dot
+
+    a = coo_to_hell(coo)
+    x8 = jnp.asarray(
+        np.random.default_rng(3).standard_normal((8, coo.n_cols)),
+        jnp.float32,
+    )
+    z = hell_spmv(a, x8, impl="xla")
+    checksum = float(dot(z, z).sum())
+    t = _time_chained(lambda a, c: hell_spmv(a, c, impl="xla"), a, x8, 3)
+    nnz = coo.nnz
+    flops = 8 * (2.0 * nnz - 1.0)
+    bytes_moved = a.values.size * 8 + coo.n_rows * 4 * 16
+    bw = hbm_bandwidth()
+    return BenchResult(
+        config="fem_irregular", fmt="hell_xla_spmm8",
+        n_rows=coo.n_rows, nnz=nnz,
+        storage_bytes=int(a.storage_bytes),
+        pad_factor=a.values.size / max(nnz, 1),
+        t_avg_s=t, gflops=flops / t * 1e-9,
+        eff_bandwidth_gbs=bytes_moved / t / 1e9,
+        roofline_frac=(bytes_moved / t) / bw if bw else None,
+        checksum=checksum,
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    run_suite("chip" if "--chip" in sys.argv else "small")

@@ -19,7 +19,7 @@ from spgpu_tpu.formats.whdia import WhdiaMatrix
 __all__ = ["coo_to_whdia"]
 
 _HACK = 128
-_GROUP = 8  # hacks per output group
+_GROUP = 32  # hacks per output group
 _SPREAD = 768  # max diagonal spread inside one 8-slot tile
 
 

@@ -27,10 +27,10 @@ Layout rules (mirroring WHELL's chunking):
 
 * a tile = 8 slots of one hack; diagonal spread within a tile ≤ 768 so
   every valid cell's ``r0 + j`` stays inside the 8-page window;
-* hacks are grouped 8 at a time; each group's tiles are padded to whole
-  8-tile chunks (the grid unit), so the z block written per chunk covers
-  8 hacks — thin banded hacks (≈ 2 tiles each) would otherwise pay a
-  per-hack write-back.
+* hacks are grouped 32 at a time; each group's tiles are padded to
+  whole grid chunks, so the z block written per chunk covers 32 hacks —
+  thin banded hacks (≈ 2 tiles each) would otherwise pay per-hack
+  write-backs and chunk padding.
 """
 
 from __future__ import annotations
@@ -61,7 +61,7 @@ class WhdiaMatrix:
     x_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
 
     hack_size = 128
-    group_hacks = 8
+    group_hacks = 32
 
     @property
     def shape(self):

@@ -172,7 +172,7 @@ def _whdia_spmv_call(values, slot_r0, tile_base, tile_hh, chunk_group,
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
-            (8, 8, 128), lambda c, r0, tb, th, cg: (cg[c], 0, 0)
+            (32, 8, 128), lambda c, r0, tb, th, cg: (cg[c], 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((x_pages, 128), values.dtype),
@@ -182,7 +182,7 @@ def _whdia_spmv_call(values, slot_r0, tile_base, tile_hh, chunk_group,
     acc = pl.pallas_call(
         _whdia_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_groups * 8, 8, 128), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_groups * 32, 8, 128), values.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128,
