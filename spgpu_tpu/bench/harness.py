@@ -77,6 +77,7 @@ def run_config(
     traffic_bytes: Callable,
     iters: int = 20,
     seed: int = 1,
+    flops_factor: float = 1.0,
 ) -> BenchResult:
     """Measure one (matrix, format) pair with the §3.5 protocol."""
     import jax
@@ -94,7 +95,7 @@ def run_config(
     checksum = float(dot(z, z))
     t = _time_chained(spmv, a, x, iters)
     nnz = coo.nnz
-    gflops = (2.0 * nnz - 1.0) / t * 1e-9
+    gflops = flops_factor * (2.0 * nnz - 1.0) / t * 1e-9
     bytes_moved = traffic_bytes(a, coo)
     bw = hbm_bandwidth()
     pad = getattr(a, "values", np.zeros(1))
@@ -121,6 +122,7 @@ def run_suite(size: str = "small", out=print):
     sizes).  Returns the list of :class:`BenchResult`.
     """
     import jax
+    import jax.numpy as jnp
 
     from spgpu_tpu.convert import (
         coo_to_ell,
@@ -181,6 +183,17 @@ def run_suite(size: str = "small", out=print):
         lambda a, x: whdia_spmv(a, x),
         lambda a, coo: a.values.size * 4 + coo.n_rows * 8,
         iters=30 if big else 5,
+    ))
+
+    # -- 8-RHS SpMM: Pallas loop-of-SpMV on WHELL ------------------------
+    from spgpu_tpu.ops import whell_spmm
+
+    emit(run_config(
+        "fem_irregular", "whell_pallas_spmm8", fem, coo_to_whell,
+        lambda a, x: whell_spmm(
+            a, jnp.broadcast_to(x, (8,) + x.shape)).sum(axis=0) / 8,
+        lambda a, coo: 8 * (a.values.size * 6 + coo.n_rows * 8),
+        iters=10 if big else 3, flops_factor=8.0,
     ))
 
     # -- 8-RHS SpMM through the XLA multivector path (small instance —

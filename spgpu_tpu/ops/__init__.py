@@ -32,7 +32,7 @@ from spgpu_tpu.ops.spmv_xla import (
 
 __all__ = [
     "ell_spmv", "hell_spmv", "dia_spmv", "hdia_spmv", "bcoo_spmv",
-    "whell_spmv", "whdia_spmv",
+    "whell_spmv", "whell_spmm", "whdia_spmv",
     "ell_csput", "hell_csput",
 ] + blas1.__all__
 
@@ -139,3 +139,32 @@ def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
     if interpret is None:
         interpret = not _on_tpu()
     return whdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
+
+
+def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
+               fused: bool = False):
+    """Multi-RHS SpMM on WHELL (``x``: ``(n_rhs, n_cols)``).
+
+    Default strategy: one Pallas SpMV per RHS under one jit — measured
+    faster on v5e than the fused single-pass kernel
+    (:func:`~spgpu_tpu.ops.pallas_kernels.whell_spmm_pallas`, available
+    via ``fused=True``), whose per-(tile, rhs) loop overhead currently
+    outweighs the slab-reuse win (BASELINE.md round-2 item).  Either way
+    this is one device program, not the reference's host-side loop of
+    kernel launches (``sdot.cu:167-175`` pattern, SURVEY §2.5)."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.ops.pallas_kernels import whell_spmm_pallas, whell_spmv_pallas
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    if fused:
+        return whell_spmm_pallas(a, x, alpha, beta, y, interpret=interpret)
+    zs = jnp.stack([
+        whell_spmv_pallas(a, x[r], interpret=interpret)
+        for r in range(int(x.shape[0]))
+    ])
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
+    return alpha * zs + beta * y

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from spgpu_tpu.formats.whell import WhellMatrix
 from spgpu_tpu.formats.whdia import WhdiaMatrix
 
-__all__ = ["whell_spmv_pallas", "whdia_spmv_pallas", "supports"]
+__all__ = ["whell_spmv_pallas", "whell_spmm_pallas", "whdia_spmv_pallas", "supports"]
 
 
 def supports(fmt: str, a, dtype) -> bool:
@@ -118,6 +118,117 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, tile_hh,
         ),
     )(tile_base, tile_hh, chunk_group, values, residue, page_tab, x2d)
     return acc.sum(axis=1)
+
+
+def _whell_spmm_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
+                       pt_ref, x_hbm_ref, z_ref, x_vmem, xsem, *, n_rhs):
+    """Multi-RHS WHELL SpMM: one slab pass computes all RHS columns —
+    the slab (values + indices) is read once and amortised over n_rhs
+    products, where the reference issues a host-side loop of scalar
+    kernels per RHS (sdot.cu:167-175 pattern, SURVEY §2.5 note)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        z_ref[:] = jnp.zeros_like(z_ref)
+
+    for k in range(_CHUNK_TILES):
+        t = c * _CHUNK_TILES + k
+        tb = tbase_ref[t]
+        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        v = vals_ref[k * 8:(k + 1) * 8, :]
+        hh = thh_ref[t]
+
+        # RHS loop as lax.fori: unrolling n_rhs x CHUNK_TILES bodies
+        # explodes Mosaic compile time.
+        def rhs_body(r, _):
+            win8 = x_vmem[r, pl.ds(tb, 8), :]
+            h1 = jnp.take_along_axis(win8, pt, axis=0)
+            g = jnp.take_along_axis(h1, res, axis=1)
+            z_ref[r, pl.ds(hh, 1), :, :] += (v * g)[None]
+            return 0
+
+        jax.lax.fori_loop(0, n_rhs, rhs_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "n_rhs", "interpret"))
+def _whell_spmm_call(values, residue, page_tab, tile_base, tile_hh,
+                     chunk_group, x3d, *, num_tiles, num_groups, x_pages,
+                     n_rhs, interpret=False):
+    num_chunks = num_tiles // _CHUNK_TILES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x3d (HBM, staged once)
+        ],
+        out_specs=pl.BlockSpec(
+            (n_rhs, 8, 8, 128), lambda c, tb, th, cg: (0, cg[c], 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_rhs, x_pages, 128), values.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    acc = pl.pallas_call(
+        functools.partial(_whell_spmm_kernel, n_rhs=n_rhs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rhs, num_groups * 8, 8, 128), values.dtype
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 8 * 128 * n_rhs,
+            bytes_accessed=num_tiles * 8 * 128 * 6
+            + n_rhs * x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, tile_hh, chunk_group, values, residue, page_tab, x3d)
+    return acc.sum(axis=2)
+
+
+def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
+                      interpret: bool = False):
+    """Fused multi-RHS ``Z = beta*Y + alpha*(A @ X)`` on WHELL.
+
+    ``x``: ``(n_rhs, n_cols)``; returns ``(n_rhs, n_rows)``.  One slab
+    pass serves every RHS (the reference loops scalar kernels host-side,
+    SURVEY §2.5).  ``n_rhs`` and x must fit VMEM: n_rhs · n_cols · 4 B
+    within a few MB.
+    """
+    n_rhs = int(x.shape[0])
+    pad = a.x_pages * 128 - a.n_cols
+    x3 = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    x3 = x3.reshape(n_rhs, a.x_pages, 128)
+    z = _whell_spmm_call(
+        a.values, a.residue, a.page_tab, a.tile_base, a.tile_hh,
+        a.chunk_group, x3,
+        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
+        n_rhs=n_rhs, interpret=interpret,
+    )
+    acc = z.reshape(n_rhs, -1)
+    if a.row_perm is not None:
+        out = jnp.zeros((n_rhs, a.rows_padded), acc.dtype)
+        acc = out.at[:, a.row_perm].set(acc[:, : a.row_perm.shape[0]])
+    acc = acc[:, : a.n_rows]
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
+    return alpha * acc + beta * y
 
 
 def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,

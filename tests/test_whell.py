@@ -110,3 +110,20 @@ def test_empty_matrix():
     a = coo_to_whell(coo)
     z = whell_spmv_pallas(a, jnp.ones(300, jnp.float32), interpret=True)
     np.testing.assert_array_equal(np.asarray(z), np.zeros(300, np.float32))
+
+
+def test_spmm_multi_rhs():
+    coo = random_fem_like(3000, 12.0, span=200, far_frac=0.02, seed=9,
+                          dtype=np.float32)
+    a = coo_to_whell(coo)
+    X = np.random.default_rng(4).standard_normal((8, coo.n_cols)).astype(np.float32)
+    from spgpu_tpu.ops.pallas_kernels import whell_spmm_pallas
+
+    Z = whell_spmm_pallas(a, jnp.asarray(X), interpret=True)
+    np.testing.assert_allclose(np.asarray(Z), coo.spmv(X), rtol=3e-5, atol=3e-5)
+    # alpha/beta/Y combine
+    Y = np.random.default_rng(5).standard_normal((8, coo.n_rows)).astype(np.float32)
+    Z2 = whell_spmm_pallas(a, jnp.asarray(X), alpha=1.5, beta=-2.0,
+                           y=jnp.asarray(Y), interpret=True)
+    np.testing.assert_allclose(np.asarray(Z2), 1.5 * coo.spmv(X) - 2.0 * Y,
+                               rtol=3e-5, atol=3e-5)
