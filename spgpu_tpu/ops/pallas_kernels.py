@@ -81,6 +81,8 @@ def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
         h1 = jnp.take_along_axis(win8, pt, axis=0)
         g = jnp.take_along_axis(h1, res, axis=1)
         contrib = vals_ref[k * 8:(k + 1) * 8, :] * g
+        # (a per-run accumulator with predicated flush saves most of
+        # these dynamic RMWs but explodes Mosaic compile time — tested)
         z_ref[pl.ds(thh_ref[t], 1), :, :] += contrib[None]
 
 
