@@ -13,6 +13,7 @@ from spgpu_tpu.convert.whell import (
     symmetric_relabel,
 )
 from spgpu_tpu.convert.whdia import coo_to_whdia
+from spgpu_tpu.convert.select import estimate_formats, suggest_format
 from spgpu_tpu.convert.host import (
     bcoo_to_bhdia,
     compute_dia_diagonals_count,
@@ -35,6 +36,8 @@ __all__ = [
     "coo_to_whdia",
     "degree_sort_perm",
     "local_degree_perm",
+    "estimate_formats",
+    "suggest_format",
     "symmetric_relabel",
     "bcoo_to_bhdia",
     "compute_dia_diagonals_count",

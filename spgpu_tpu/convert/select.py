@@ -1,0 +1,91 @@
+"""Format selection heuristics.
+
+The reference leaves format choice to the caller, with one runtime
+fallback: ``diaPerf`` checks whether the dense DIA slab fits device
+memory and skips to HDIA when it doesn't
+(``/root/reference/src/tests/diaPerf.cpp:174-183``).  This module makes
+that decision a first-class, testable API: estimate each format's padded
+footprint from cheap COO statistics and pick the layout whose Pallas/XLA
+path will move the fewest bytes per product.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import numpy as np
+
+from spgpu_tpu.formats.coo import CooMatrix
+
+__all__ = ["FormatEstimate", "estimate_formats", "suggest_format"]
+
+
+@dataclasses.dataclass
+class FormatEstimate:
+    fmt: str
+    bytes_per_product: float  # slab traffic per SpMV (value+index bytes)
+    pad_factor: float
+
+    def json(self):
+        return dataclasses.asdict(self)
+
+
+def estimate_formats(coo: CooMatrix, itemsize: int = 4) -> Dict[str, FormatEstimate]:
+    """Cheap COO-statistics estimates of per-product slab traffic.
+
+    * DIA: distinct diagonals × padded rows (dense diagonal slab);
+    * WHDIA: per-(hack, diagonal) occupancy, values-only traffic;
+    * WHELL: per-(hack, superpage) group widths, 6 B/cell;
+    * ELL: global max row length (the format WHELL/HELL exist to beat).
+    """
+    n, m = coo.n_rows, coo.nnz
+    if m == 0:
+        z = FormatEstimate("ell", 0.0, 1.0)
+        return {"ell": z}
+    rows_p = -(-n // 128) * 128
+    lens = coo.row_lengths()
+    diag = coo.cols - coo.rows
+    hack = coo.rows // 128
+
+    out: Dict[str, FormatEstimate] = {}
+
+    # ELL: width = max row length
+    w = int(lens.max())
+    cells = w * rows_p
+    out["ell"] = FormatEstimate("ell", cells * (itemsize + 4), cells / m)
+
+    # DIA: every distinct diagonal stored dense
+    ndiag = np.unique(diag).size
+    cells = ndiag * rows_p
+    out["dia"] = FormatEstimate("dia", cells * itemsize, cells / m)
+
+    # WHDIA: distinct (hack, diagonal) pairs × 128 lanes, values only
+    hd = np.unique(hack * (2 * n + 1) + (diag + n)).size
+    cells = hd * 128
+    out["whdia"] = FormatEstimate("whdia", cells * itemsize, cells / m)
+
+    # WHELL: sum over (hack, superpage) groups of max-per-row count × 128
+    nsp = max(-(-coo.n_cols // 1024), 1)
+    G = hack * nsp + coo.cols // 1024
+    key = G * n + coo.rows
+    _, cnt = np.unique(key, return_counts=True)
+    # group widths: max count per group
+    gq = np.unique(key) // n
+    o = np.argsort(gq, kind="stable")
+    gs, cs = gq[o], cnt[o]
+    grp = np.r_[True, gs[1:] != gs[:-1]]
+    gid = np.cumsum(grp) - 1
+    W = np.zeros(gid[-1] + 1, dtype=np.int64)
+    np.maximum.at(W, gid, cs)
+    cells = int((-(-W // 8) * 8).sum()) * 128
+    out["whell"] = FormatEstimate("whell", cells * (itemsize + 2), cells / m)
+
+    return out
+
+
+def suggest_format(coo: CooMatrix, itemsize: int = 4) -> str:
+    """Pick the format with the least per-product slab traffic — the
+    TPU analogue of diaPerf's DIA-fits-in-memory fallback."""
+    est = estimate_formats(coo, itemsize)
+    return min(est.values(), key=lambda e: e.bytes_per_product).fmt
