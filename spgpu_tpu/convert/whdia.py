@@ -44,7 +44,7 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
 
         return WhdiaMatrix(
             values=jnp.zeros((total, _HACK), val_dtype),
-            slot_r0=jnp.zeros((total,), jnp.int32),
+            slot_r0=jnp.full((total // 2,), 128 | (128 << 16), jnp.int32),
             tile_base=jnp.zeros((total // 8,), jnp.int32),
             tile_hh=jnp.zeros((total // 8,), jnp.int32),
             chunk_group=jnp.arange(num_groups, dtype=jnp.int32),
@@ -119,6 +119,11 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
     r0 = (slot_hack * _HACK + slot_diag - tb_raw[tile_of_slot] * 128)
     slot_r0 = np.zeros(total_slots, dtype=np.int32)
     slot_r0[slot_final] = r0.astype(np.int32)
+    # pack two biased 16-bit values per int32: halves the SMEM footprint
+    # of the scalar-prefetch operand (the 1 MB SMEM budget was the
+    # single-call size cap).  r0 ∈ [-127, 1151] ⊂ [-128, 65407].
+    b = slot_r0 + 128
+    slot_r0p = (b[0::2] | (b[1::2] << 16)).astype(np.int32)
     vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
     vals[slot_final[slot_of_entry], lane[order]] = vals_in[order]
 
@@ -126,7 +131,7 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
 
     return WhdiaMatrix(
         values=jnp.asarray(vals),
-        slot_r0=jnp.asarray(slot_r0),
+        slot_r0=jnp.asarray(slot_r0p),
         tile_base=jnp.asarray(tile_base),
         tile_hh=jnp.asarray(tile_hh),
         chunk_group=jnp.asarray(chunk_group),

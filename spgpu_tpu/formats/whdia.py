@@ -48,7 +48,8 @@ from spgpu_tpu.core import CHUNK_TILES as _CT
 @dataclasses.dataclass
 class WhdiaMatrix:
     values: jax.Array  # (total_slots, 128) slot-major cells
-    slot_r0: jax.Array  # (total_slots,) int32: h*128 + d - 128*tile_base
+    slot_r0: jax.Array  # (total_slots // 2,) int32: two packed biased
+    #   16-bit values (r0 + 128) per word; r0 = h*128 + d - 128*tile_base
     tile_base: jax.Array  # (num_tiles,) int32: first x page of the tile
     tile_hh: jax.Array  # (num_tiles,) int32: hack index within its group
     chunk_group: jax.Array  # (num_tiles // 8,) int32: 8-hack group of chunk
@@ -83,13 +84,16 @@ class WhdiaMatrix:
     def storage_bytes(self) -> int:
         return int(
             self.values.size * self.values.dtype.itemsize
-            + self.slot_r0.size * 4 + self.tile_base.size * 4
+            + self.slot_r0.size * 4 + self.tile_base.size * 4  # r0 packed 2/word
             + self.tile_hh.size * 4 + self.chunk_group.size * 4
         )
 
     def to_dense(self) -> np.ndarray:
         vals = np.asarray(self.values)
-        r0 = np.asarray(self.slot_r0)
+        packed = np.asarray(self.slot_r0).astype(np.int64)
+        r0 = np.empty(packed.size * 2, dtype=np.int64)
+        r0[0::2] = (packed & 0xFFFF) - 128
+        r0[1::2] = ((packed >> 16) & 0xFFFF) - 128
         tb = np.asarray(self.tile_base)
         hh = np.asarray(self.tile_hh)
         cg = np.asarray(self.chunk_group)

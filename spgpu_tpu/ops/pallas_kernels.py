@@ -259,7 +259,16 @@ def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,
     for k in range(_CHUNK_TILES):
         t = c * _CHUNK_TILES + k
         win8 = x_vmem[pl.ds(tbase_ref[t], 8), :]  # (8, 128)
-        r0 = jnp.stack([r0_ref[t * 8 + s] for s in range(8)]).reshape(8, 1)
+        # slot_r0 packs two biased 16-bit values per int32 word (SMEM
+        # budget); tile-local parity is static so the shifts are free.
+        r0 = jnp.stack([
+            jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(
+                    r0_ref[t * 4 + s // 2], jnp.int32(16 * (s & 1))),
+                jnp.int32(0xFFFF),
+            ) - jnp.int32(128)
+            for s in range(8)
+        ]).reshape(8, 1)
         rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
         rr = jax.lax.bitwise_and(r0, jnp.int32(127))
         # rotation bijection: residue l comes from page rq (+1 if l < rr)

@@ -33,8 +33,9 @@ def test_layout_roundtrip(name):
     a = coo_to_whdia(coo)
     np.testing.assert_array_equal(a.to_dense(), coo.to_dense())
     assert a.total_slots % 64 == 0
-    # every chunk belongs to one 8-hack group; r0 deltas fit the window
-    r0 = np.asarray(a.slot_r0)
+    # r0 values (packed two biased-16-bit per word) fit the 8-page window
+    packed = np.asarray(a.slot_r0).astype(np.int64)
+    r0 = np.r_[(packed & 0xFFFF) - 128, ((packed >> 16) & 0xFFFF) - 128]
     assert r0.max() < 1024
 
 
