@@ -16,6 +16,10 @@ try:  # populated in M4; keep the package importable while building up
         make_row_mesh,
         partition_coo_rows,
     )
+    from spgpu_tpu.parallel.partition_whell import (  # noqa: F401
+        PartitionedWhell,
+        partition_coo_rows_whell,
+    )
     from spgpu_tpu.parallel.dist_spmv import dist_spmv, make_dist_matvec  # noqa: F401
     from spgpu_tpu.parallel.dist_solve import dist_bicgstab, dist_cg  # noqa: F401
 
@@ -23,6 +27,8 @@ try:  # populated in M4; keep the package importable while building up
         "PartitionedMatrix",
         "make_row_mesh",
         "partition_coo_rows",
+        "PartitionedWhell",
+        "partition_coo_rows_whell",
         "dist_spmv",
         "make_dist_matvec",
         "dist_cg",

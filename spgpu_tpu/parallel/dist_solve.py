@@ -64,7 +64,8 @@ def _dist_solve(
         x=P(axis), iterations=P(), residual_norm=P(), converged=P()
     )
     f = jax.jit(
-        jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
     )
     res = f(pm_s, bp, x0p, mp)
     return res._replace(x=res.x.reshape(-1)[: pm.n_rows])

@@ -41,17 +41,32 @@ def shard_partitioned(pm: PartitionedMatrix, mesh: Mesh, axis: str = "rows"):
     )
 
 
-def local_matvec(pm: PartitionedMatrix, axis: str, lpm, x_local):
+def local_matvec(pm, axis: str, lpm, x_local):
     """Shard-local SpMV body (runs inside ``shard_map``).
 
-    ``lpm`` is the shard's block of the PartitionedMatrix pytree (leading
-    shard axis of size 1); ``x_local`` is the shard's ``(1, chunk)`` block
-    of x.  Returns the local ``(1, chunk)`` block of ``A @ x``.
+    ``lpm`` is the shard's block of the partitioned pytree (leading shard
+    axis of size 1); ``x_local`` is the shard's ``(1, chunk)`` block of
+    x.  Returns the local ``(1, chunk)`` block of ``A @ x``.  The local
+    products run WHELL Pallas kernels for a :class:`PartitionedWhell`,
+    or the portable XLA path for a :class:`PartitionedMatrix`.
     """
+    from spgpu_tpu.parallel.partition_whell import PartitionedWhell
+
     xl = x_local[0]
     # halo exchange: pack (gath), all-to-all over ICI, flat receive buffer
     send_buf = xl[lpm.send_idx[0]]  # (P, K)
     halo = jax.lax.all_to_all(send_buf, axis, 0, 0).reshape(-1)  # (P*K,)
+    if isinstance(pm, PartitionedWhell):
+        from spgpu_tpu.ops import whell_spmv
+
+        a_int = pm.local_interior(tuple(l[0] for l in (
+            lpm.int_values, lpm.int_residue, lpm.int_page_tab,
+            lpm.int_tile_base, lpm.int_tile_hh, lpm.int_chunk_group)))
+        z = whell_spmv(a_int, xl)
+        a_ext = pm.local_exterior(tuple(l[0] for l in (
+            lpm.ext_values, lpm.ext_residue, lpm.ext_page_tab,
+            lpm.ext_tile_base, lpm.ext_tile_hh, lpm.ext_chunk_group)))
+        return (z + whell_spmv(a_ext, halo))[None]
     # interior SpMV — independent of the collective; XLA overlaps them
     a_int = pm.local_interior(
         lpm.int_values[0], lpm.int_cols[0],
@@ -87,6 +102,9 @@ def dist_spmv(
             mesh=mesh,
             in_specs=(_leaf_spec(pm, axis), P(axis)),
             out_specs=P(axis),
+            # pallas_call inside shard_map can't annotate vma on its
+            # out_shape structs; skip the varying-mesh-axes check
+            check_vma=False,
         )
     )
     z = f(pm_s, xp)

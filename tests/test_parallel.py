@@ -115,3 +115,28 @@ def test_dist_matches_single_device_cg():
     r8 = dist_cg(partition_coo_rows(coo, 8), b, make_row_mesh(8),
                  tol=1e-10, maxiter=2000)
     np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r8.x), atol=1e-7)
+
+
+@requires_8
+def test_dist_spmv_whell_matches_golden():
+    from spgpu_tpu.parallel.partition_whell import partition_coo_rows_whell
+
+    coo = laplacian_2d(37, 41, np.float32)
+    pm = partition_coo_rows_whell(coo, 8)
+    mesh = make_row_mesh(8)
+    x = np.random.default_rng(0).standard_normal(coo.n_rows).astype(np.float32)
+    z = dist_spmv(pm, x, mesh)
+    np.testing.assert_allclose(np.asarray(z), coo.spmv(x), rtol=2e-5, atol=2e-5)
+
+
+@requires_8
+def test_dist_cg_whell():
+    from spgpu_tpu.parallel.partition_whell import partition_coo_rows_whell
+
+    coo = laplacian_2d(25, 28, np.float32)
+    pm = partition_coo_rows_whell(coo, 8)
+    mesh = make_row_mesh(8)
+    b = np.random.default_rng(2).standard_normal(coo.n_rows).astype(np.float32)
+    res = dist_cg(pm, b, mesh, tol=1e-5, maxiter=2000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(coo.spmv(np.asarray(res.x)), b, atol=1e-3)
