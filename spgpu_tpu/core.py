@@ -107,8 +107,11 @@ def cdiv(a: int, b: int) -> int:
 
 #: Pallas kernel grid unit: tiles (of 8 slots) per grid step.  Bigger
 #: chunks amortise per-grid-step overhead (~0.3-0.5 us measured on v5e)
-#: against per-hack slab padding (hack slot counts round up to a chunk).
-CHUNK_TILES = 32
+#: against group slab padding (slot counts round up to a chunk) and
+#: Mosaic compile time (the kernels unroll CHUNK_TILES bodies; 128
+#: pushes the compile past 10 minutes).  Measured on the fem bench:
+#: 8 -> 147 GB/s, 32 -> 203 GB/s, 64 -> 240 GB/s effective.
+CHUNK_TILES = 64
 
 #: Default hack size: one full lane vector of rows per hack.  The reference
 #: requires a multiple of its warp size 32 and uses 32 in practice

@@ -31,6 +31,7 @@ from spgpu_tpu.ops.spmv_xla import (
 )
 
 __all__ = [
+    "spmv",
     "ell_spmv", "hell_spmv", "dia_spmv", "hdia_spmv", "bcoo_spmv",
     "whell_spmv", "whell_spmm", "whdia_spmv",
     "ell_csput", "hell_csput",
@@ -168,3 +169,27 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     if is_zero or y is None:
         return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
     return alpha * zs + beta * y
+
+
+def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
+    """Format-generic ``z = beta*y + alpha*(A @ x)``: dispatches on the
+    matrix type (every format dataclass routes to its op)."""
+    from spgpu_tpu.formats import (
+        BcooMatrix, DiaMatrix, EllMatrix, HdiaMatrix, HellMatrix,
+        WhdiaMatrix, WhellMatrix,
+    )
+
+    table = {
+        EllMatrix: ell_spmv,
+        HellMatrix: hell_spmv,
+        DiaMatrix: dia_spmv,
+        HdiaMatrix: hdia_spmv,
+        BcooMatrix: bcoo_spmv,
+        WhellMatrix: whell_spmv,
+        WhdiaMatrix: whdia_spmv,
+    }
+    try:
+        fn = table[type(a)]
+    except KeyError:
+        raise TypeError(f"no SpMV for {type(a).__name__}") from None
+    return fn(a, x, alpha, beta, y, **kw)

@@ -17,3 +17,5 @@ __all__ = [
     "Clock",
     "benchmark_op",
 ]
+
+from spgpu_tpu.utils.profiling import roofline_report, time_op, trace  # noqa: F401,E402

@@ -178,3 +178,35 @@ def test_csput(rng):
     has = dense[0, coo.n_cols - 1] != 0
     if not has:
         np.testing.assert_allclose(ell3.to_dense(), dense)
+
+
+def test_generic_spmv_dispatch():
+    import jax.numpy as jnp
+
+    from spgpu_tpu import convert, ops
+    from spgpu_tpu.utils.fixtures import laplacian_2d
+
+    coo = laplacian_2d(16, 16, np.float32)
+    x = np.random.default_rng(0).standard_normal(coo.n_cols).astype(np.float32)
+    ref = coo.spmv(x)
+    for conv in (convert.coo_to_ell, convert.coo_to_hell, convert.coo_to_dia,
+                 convert.coo_to_hdia, convert.coo_to_whell, convert.coo_to_whdia):
+        a = conv(coo)
+        z = ops.spmv(a, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(z), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_whell_fp64_interpret():
+    """fp64 — the reference's primary precision — through the WHELL
+    kernel in interpret mode (the v5e TPU backend has no native fp64)."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.convert import coo_to_whell
+    from spgpu_tpu.ops.pallas_kernels import whell_spmv_pallas
+    from spgpu_tpu.utils.fixtures import laplacian_2d
+
+    coo = laplacian_2d(20, 22, np.float64)
+    a = coo_to_whell(coo)
+    x = np.random.default_rng(1).standard_normal(coo.n_cols)
+    z = whell_spmv_pallas(a, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(z), coo.spmv(x), rtol=1e-12, atol=1e-12)
