@@ -20,6 +20,11 @@ roofline for the matrix's actual slab bytes (the reference publishes no
 numbers — BASELINE.md sets ≥0.90 of roofline as the north-star target).
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
 import json
 import sys
 import time

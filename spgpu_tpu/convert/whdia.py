@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from spgpu_tpu.core import CHUNK_TILES as _CT
+from spgpu_tpu.core import WHDIA_CHUNK_TILES as _CT
 from spgpu_tpu.formats.coo import CooMatrix
 from spgpu_tpu.formats.whdia import WhdiaMatrix
 

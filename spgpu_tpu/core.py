@@ -113,6 +113,11 @@ def cdiv(a: int, b: int) -> int:
 #: 8 -> 147 GB/s, 32 -> 203 GB/s, 64 -> 240 GB/s effective.
 CHUNK_TILES = 64
 
+#: WHDIA's grid unit: its slabs are values-only (less per-chunk traffic
+#: to amortise) and banded 32-hack groups are ~64 tiles, so 32 measures
+#: better (banded 1M: 22.9 vs 22.1 GFLOPS; 500k b31: 31.1 vs 29.2).
+WHDIA_CHUNK_TILES = 32
+
 #: Default hack size: one full lane vector of rows per hack.  The reference
 #: requires a multiple of its warp size 32 and uses 32 in practice
 #: (``hell.h:30-33``); on TPU the natural unit is the 128-lane vector.

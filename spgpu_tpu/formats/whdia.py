@@ -41,7 +41,7 @@ from typing import Optional
 import jax
 import numpy as np
 
-from spgpu_tpu.core import CHUNK_TILES as _CT
+from spgpu_tpu.core import WHDIA_CHUNK_TILES as _CT
 
 
 @jax.tree_util.register_dataclass

@@ -46,6 +46,7 @@ def supports(fmt: str, a, dtype) -> bool:
 
 
 from spgpu_tpu.core import CHUNK_TILES as _CHUNK_TILES  # tiles per grid step
+from spgpu_tpu.core import WHDIA_CHUNK_TILES as _WHDIA_CT
 
 
 def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
@@ -256,8 +257,8 @@ def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,
         z_ref[:] = jnp.zeros_like(z_ref)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    for k in range(_CHUNK_TILES):
-        t = c * _CHUNK_TILES + k
+    for k in range(_WHDIA_CT):
+        t = c * _WHDIA_CT + k
         win8 = x_vmem[pl.ds(tbase_ref[t], 8), :]  # (8, 128)
         # slot_r0 packs two biased 16-bit values per int32 word (SMEM
         # budget); tile-local parity is static so the shifts are free.
@@ -285,12 +286,12 @@ def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,
 def _whdia_spmv_call(values, slot_r0, tile_base, tile_hh, chunk_group,
                      x2d, *, num_tiles, num_groups, x_pages,
                      interpret=False):
-    num_chunks = num_tiles // _CHUNK_TILES
+    num_chunks = num_tiles // _WHDIA_CT
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
