@@ -36,7 +36,6 @@ Layout rules (mirroring WHELL's chunking):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import numpy as np

@@ -22,8 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
-import io as _io
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

@@ -15,8 +15,6 @@ capability, ``ell_spmv_base.cuh:122-143``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 
 from spgpu_tpu.formats import BcooMatrix, DiaMatrix, EllMatrix, HdiaMatrix, HellMatrix

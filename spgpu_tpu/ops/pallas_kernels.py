@@ -33,7 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spgpu_tpu.formats.whell import WhellMatrix
-from spgpu_tpu.formats.whdia import WhdiaMatrix
 
 __all__ = ["whell_spmv_pallas", "whell_spmm_pallas", "whdia_spmv_pallas", "supports"]
 

@@ -28,7 +28,6 @@ All functions accept multi-RHS ``x`` with leading batch dims
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -12,7 +12,6 @@ collectives, convergence test — runs inside one ``shard_map`` under one
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -17,10 +17,7 @@ exterior slab's column indices, which point straight into the received
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spgpu_tpu.ops.spmv_xla import hell_spmv_xla

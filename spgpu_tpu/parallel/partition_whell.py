@@ -11,8 +11,6 @@ structure shards along axis 0 of every leaf under ``shard_map``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import numpy as np
 

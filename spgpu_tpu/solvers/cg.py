@@ -15,7 +15,6 @@ wraps these same functions around a sharded SpMV (``spgpu_tpu.parallel``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
