@@ -80,10 +80,11 @@ def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
         # table), then residue pick (lane gather)
         h1 = jnp.take_along_axis(win8, pt, axis=0)
         g = jnp.take_along_axis(h1, res, axis=1)
-        contrib = vals_ref[k * 8:(k + 1) * 8, :] * g
+        # bf16 value slabs upcast here: accumulate in the x/z dtype
+        v = vals_ref[k * 8:(k + 1) * 8, :].astype(z_ref.dtype)
         # (a per-run accumulator with predicated flush saves most of
         # these dynamic RMWs but explodes Mosaic compile time — tested)
-        z_ref[pl.ds(thh_ref[t], 1), :, :] += contrib[None]
+        z_ref[pl.ds(thh_ref[t], 1), :, :] += (v * g)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "interpret"))
@@ -104,14 +105,14 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, tile_hh,
             (8, 8, 128), lambda c, tb, th, cg: (cg[c], 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((x_pages, 128), values.dtype),
+            pltpu.VMEM((x_pages, 128), x2d.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     acc = pl.pallas_call(
         _whell_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_groups * 8, 8, 128), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_groups * 8, 8, 128), x2d.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128,

@@ -127,3 +127,17 @@ def test_spmm_multi_rhs():
                            y=jnp.asarray(Y), interpret=True)
     np.testing.assert_allclose(np.asarray(Z2), 1.5 * coo.spmv(X) - 2.0 * Y,
                                rtol=3e-5, atol=3e-5)
+
+
+def test_bf16_value_slabs():
+    """bf16 value slabs with fp32 x/accumulation (mixed precision; the
+    TPU-native low-precision story the reference never had)."""
+    coo = random_fem_like(3000, 12.0, span=200, far_frac=0.02, seed=9,
+                          dtype=np.float32)
+    a = coo_to_whell(coo, dtype=jnp.bfloat16)
+    x = np.random.default_rng(6).standard_normal(coo.n_cols).astype(np.float32)
+    z = whell_spmv_pallas(a, jnp.asarray(x), interpret=True)
+    ref = coo.spmv(x)
+    rel = np.abs(np.asarray(z) - ref).max() / np.abs(ref).max()
+    assert rel < 0.03  # bf16 has ~8 mantissa bits
+    assert np.asarray(z).dtype == np.float32
