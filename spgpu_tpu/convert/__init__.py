@@ -16,8 +16,13 @@ from spgpu_tpu.convert.whdia import coo_to_whdia
 from spgpu_tpu.convert.select import estimate_formats, suggest_format
 from spgpu_tpu.convert.host import (
     bcoo_to_bhdia,
+    compute_bcoo_size,
+    compute_dia_alloc_pitch,
     compute_dia_diagonals_count,
     compute_ell_alloc_pitch,
+    compute_hdia_hack_offsets,
+    compute_hdia_hack_offsets_from_coo,
+    coo_to_hdia_size,
     compute_ell_row_lengths,
     compute_hell_alloc_size,
     coo_to_bcoo,
@@ -40,7 +45,12 @@ __all__ = [
     "suggest_format",
     "symmetric_relabel",
     "bcoo_to_bhdia",
+    "compute_bcoo_size",
+    "compute_dia_alloc_pitch",
     "compute_dia_diagonals_count",
+    "compute_hdia_hack_offsets",
+    "compute_hdia_hack_offsets_from_coo",
+    "coo_to_hdia_size",
     "compute_ell_alloc_pitch",
     "compute_ell_row_lengths",
     "compute_hell_alloc_size",

@@ -59,7 +59,12 @@ __all__ = [
     "compute_ell_alloc_pitch",
     "compute_hell_alloc_size",
     "compute_dia_diagonals_count",
+    "compute_dia_alloc_pitch",
     "get_hdia_hacks_count",
+    "compute_hdia_hack_offsets",
+    "compute_hdia_hack_offsets_from_coo",
+    "coo_to_hdia_size",
+    "compute_bcoo_size",
 ]
 
 
@@ -91,6 +96,63 @@ def compute_dia_diagonals_count(coo: CooMatrix) -> int:
 def get_hdia_hacks_count(n_rows: int, hack_size: int = DEFAULT_HACK_SIZE) -> int:
     """Mirrors ``getHdiaHacksCount`` (``hdia.cpp:8-11``)."""
     return -(-n_rows // hack_size)
+
+
+def compute_dia_alloc_pitch(n_rows: int) -> int:
+    """Row-axis padding for DIA; mirrors ``computeDiaAllocPitch``
+    (``dia.c:5-9``) — the reference rounds to 32, we round to 128 lanes."""
+    return round_up(max(n_rows, 1), LANES)
+
+
+def compute_hdia_hack_offsets_from_coo(
+    coo: CooMatrix, hack_size: int = DEFAULT_HACK_SIZE
+) -> np.ndarray:
+    """Per-hack occupied-diagonal-count prefix sum; mirrors
+    ``computeHdiaHackOffsetsFromCoo`` (``hdia.cpp:161-228``).  Returns a
+    ``(hacks + 1,)`` array whose last entry is the total stored diagonal
+    count (the HDIA allocation size in hack-width units)."""
+    hacks = max(get_hdia_hacks_count(coo.n_rows, hack_size), 1)
+    off = np.zeros(hacks + 1, dtype=np.int64)
+    if coo.nnz:
+        h = coo.rows // hack_size
+        d = coo.cols - coo.rows
+        per_hack = np.unique(h * (2 * coo.n_cols + 1) + (d + coo.n_cols))
+        counts = np.bincount(per_hack // (2 * coo.n_cols + 1), minlength=hacks)
+        np.cumsum(counts, out=off[1:])
+    return off
+
+
+def compute_hdia_hack_offsets(
+    dia: DiaMatrix, hack_size: int = DEFAULT_HACK_SIZE
+) -> np.ndarray:
+    """Per-hack occupied-diagonal prefix sum from a DIA matrix; mirrors
+    ``computeHdiaHackOffsets`` (``hdia.cpp:13-61``) — a diagonal counts
+    for a hack iff any of its values in that hack's rows is nonzero (the
+    reference's byte-occupancy scan)."""
+    vals = np.asarray(dia.values)[:, : dia.n_rows]
+    hacks = max(get_hdia_hacks_count(dia.n_rows, hack_size), 1)
+    off = np.zeros(hacks + 1, dtype=np.int64)
+    for hk in range(hacks):
+        blk = vals[: dia.n_diags, hk * hack_size:(hk + 1) * hack_size]
+        off[hk + 1] = off[hk] + int((blk != 0).any(axis=1).sum())
+    return off
+
+
+def coo_to_hdia_size(coo: CooMatrix, hack_size: int = DEFAULT_HACK_SIZE) -> int:
+    """Stored-element count of the HDIA conversion; mirrors
+    ``cooToHdiaSize`` (``hdia.cpp:230-249``)."""
+    return int(compute_hdia_hack_offsets_from_coo(coo, hack_size)[-1]) * hack_size
+
+
+def compute_bcoo_size(coo: CooMatrix, block_rows: int, block_cols: int) -> int:
+    """Number of occupied dense blocks; mirrors ``computeBcooSize``
+    (``coo.cpp:7-28``)."""
+    if coo.nnz == 0:
+        return 0
+    br = coo.rows // block_rows
+    bc = coo.cols // block_cols
+    nbc = -(-coo.n_cols // block_cols)
+    return int(np.unique(br * nbc + bc).size)
 
 
 def _per_row_positions(rows: np.ndarray, counts: np.ndarray) -> tuple:

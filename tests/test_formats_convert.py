@@ -174,3 +174,30 @@ def test_parity_helpers(coo):
 def _has_dups(coo):
     key = coo.rows * coo.n_cols + coo.cols
     return np.unique(key).size != key.size
+
+
+def test_hdia_hack_offsets_parity():
+    """computeHdiaHackOffsets[FromCoo] / cooToHdiaSize / computeBcooSize
+    parity helpers (SURVEY §2.3)."""
+    from spgpu_tpu.convert import (
+        compute_bcoo_size,
+        compute_hdia_hack_offsets,
+        compute_hdia_hack_offsets_from_coo,
+        coo_to_dia,
+        coo_to_hdia_size,
+    )
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    coo = random_banded(700, bands=7, wander=5, seed=3).sum_duplicates()
+    off_coo = compute_hdia_hack_offsets_from_coo(coo)
+    assert off_coo.shape == (-(-700 // 128) + 1,)
+    assert (np.diff(off_coo) >= 0).all()
+    # from-DIA scan agrees with the from-COO bucketing
+    off_dia = compute_hdia_hack_offsets(coo_to_dia(coo))
+    np.testing.assert_array_equal(off_coo, off_dia)
+    assert coo_to_hdia_size(coo) == off_coo[-1] * 128
+    # block count matches a dense blocking
+    nb = compute_bcoo_size(coo, 4, 4)
+    dense = coo.to_dense()
+    blocks = dense.reshape(175, 4, 175, 4).transpose(0, 2, 1, 3)
+    assert nb == int((blocks != 0).any(axis=(2, 3)).sum())
