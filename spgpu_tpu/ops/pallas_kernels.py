@@ -333,7 +333,19 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     return alpha * acc + beta * y
 
 
+#: x must fit the persistent VMEM scratch next to the streamed slab
+#: blocks; ~12 MB leaves headroom in v5e's 16 MB VMEM.
+_X_VMEM_LIMIT_BYTES = 12 * 1024 * 1024
+
+
 def _prep_x(x, n_cols: int, x_pages: int):
+    nbytes = x_pages * 128 * jnp.dtype(x.dtype).itemsize
+    if nbytes > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"x ({nbytes/2**20:.0f} MiB padded) exceeds the VMEM-resident "
+            f"limit ({_X_VMEM_LIMIT_BYTES/2**20:.0f} MiB); column-panel "
+            "tiling for larger matrices is planned (BASELINE.md)"
+        )
     pad = x_pages * 128 - n_cols
     if pad:
         x = jnp.pad(x, (0, pad))
