@@ -82,8 +82,9 @@ def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
         g = jnp.take_along_axis(h1, res, axis=1)
         # bf16 value slabs upcast here: accumulate in the x/z dtype
         v = vals_ref[k * 8:(k + 1) * 8, :].astype(z_ref.dtype)
-        # (a per-run accumulator with predicated flush saves most of
-        # these dynamic RMWs but explodes Mosaic compile time — tested)
+        # (per-run accumulators with predicated flush, int32 index slabs,
+        # and (32,128)-aligned int8 casts all measured neutral-or-worse;
+        # the remaining per-tile cost looks latency-bound — DESIGN.md §4)
         z_ref[pl.ds(thh_ref[t], 1), :, :] += (v * g)[None]
 
 
