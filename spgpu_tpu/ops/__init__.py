@@ -50,48 +50,45 @@ def _pallas_mod():
 
 
 def _dispatch(fmt: str, a, dtype) -> str:
-    if not _on_tpu():
-        return "xla"
-    try:
-        mod = _pallas_mod()
-    except Exception:
-        return "xla"
-    return "pallas" if mod.supports(fmt, a, dtype) else "xla"
+    # The reference-parity formats (ELL/HELL/DIA/HDIA) always run the
+    # portable XLA path; the Pallas fast paths live on the WHELL/WHDIA
+    # compute layouts (convert.coo_to_whell / coo_to_whdia).  This is
+    # the TPU analogue of the reference's per-matrix variant dispatcher
+    # (ell_spmv_base.cuh:122-143): pick the kernel family by layout.
+    return "xla"
 
 
 def ell_spmv(a: EllMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
-    """``z = beta*y + alpha*(A @ x)`` for ELL/OELL; ↔ ``spgpu?ellspmv``."""
-    if impl == "auto":
-        impl = _dispatch("ell", a, a.dtype)
+    """``z = beta*y + alpha*(A @ x)`` for ELL/OELL; ↔ ``spgpu?ellspmv``.
+
+    For the TPU fast path convert to WHELL (:func:`whell_spmv`)."""
     if impl == "pallas":
-        return _pallas_mod().ell_spmv_pallas(a, x, alpha, beta, y)
+        raise ValueError("the Pallas fast path runs on the WHELL layout: "
+                         "convert.coo_to_whell + ops.whell_spmv")
     return ell_spmv_xla(a, x, alpha, beta, y)
 
 
 def hell_spmv(a: HellMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
     """``z = beta*y + alpha*(A @ x)`` for HELL; ↔ ``spgpu?hellspmv``."""
-    if impl == "auto":
-        impl = _dispatch("hell", a, a.dtype)
     if impl == "pallas":
-        return _pallas_mod().hell_spmv_pallas(a, x, alpha, beta, y)
+        raise ValueError("the Pallas fast path runs on the WHELL layout: "
+                         "convert.coo_to_whell + ops.whell_spmv")
     return hell_spmv_xla(a, x, alpha, beta, y)
 
 
 def dia_spmv(a: DiaMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
     """``z = beta*y + alpha*(A @ x)`` for DIA; ↔ ``spgpu?diaspmv``."""
-    if impl == "auto":
-        impl = _dispatch("dia", a, a.dtype)
     if impl == "pallas":
-        return _pallas_mod().dia_spmv_pallas(a, x, alpha, beta, y)
+        raise ValueError("the Pallas fast path runs on the WHDIA layout: "
+                         "convert.coo_to_whdia + ops.whdia_spmv")
     return dia_spmv_xla(a, x, alpha, beta, y)
 
 
 def hdia_spmv(a: HdiaMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
     """``z = beta*y + alpha*(A @ x)`` for HDIA; ↔ ``spgpu?hdiaspmv``."""
-    if impl == "auto":
-        impl = _dispatch("hdia", a, a.dtype)
     if impl == "pallas":
-        return _pallas_mod().hdia_spmv_pallas(a, x, alpha, beta, y)
+        raise ValueError("the Pallas fast path runs on the WHDIA layout: "
+                         "convert.coo_to_whdia + ops.whdia_spmv")
     return hdia_spmv_xla(a, x, alpha, beta, y)
 
 
