@@ -11,6 +11,7 @@ from spgpu_tpu.convert.whell import (
     degree_sort_perm,
     local_degree_perm,
     symmetric_relabel,
+    whell_update_values,
 )
 from spgpu_tpu.convert.whdia import coo_to_whdia
 from spgpu_tpu.convert.select import estimate_formats, suggest_format
@@ -43,6 +44,7 @@ __all__ = [
     "local_degree_perm",
     "estimate_formats",
     "suggest_format",
+    "whell_update_values",
     "symmetric_relabel",
     "bcoo_to_bhdia",
     "compute_bcoo_size",

@@ -21,7 +21,7 @@ from spgpu_tpu.formats.coo import CooMatrix
 from spgpu_tpu.formats.whell import WhellMatrix
 
 __all__ = ["coo_to_whell", "degree_sort_perm", "local_degree_perm",
-           "symmetric_relabel"]
+           "symmetric_relabel", "whell_update_values"]
 
 _HACK = 128
 
@@ -81,7 +81,8 @@ def coo_to_whell(
     row_perm: Optional[np.ndarray] = None,
     sort_rows: bool = False,
     dtype=None,
-) -> WhellMatrix:
+    return_plan: bool = False,
+):
     """Build a :class:`WhellMatrix` from host COO triples.
 
     ``sort_rows=True`` applies the OELL descending-degree ordering before
@@ -90,6 +91,13 @@ def coo_to_whell(
     :func:`local_degree_perm` + relabel) for solver use.  Duplicates are
     kept as separate cells (both contribute), matching ``cooToEll``
     (``ell.c:65-78``).
+
+    ``return_plan=True`` additionally returns the per-entry cell map
+    ``(slot, lane)`` so :func:`whell_update_values` can refresh values
+    for a new matrix with the SAME sparsity pattern without re-running
+    layout construction — the time-dependent-PDE analogue of the
+    reference's ``spgpu?ellcsput`` update-in-place kernels
+    (``ell_csput_base.cuh:44-73``).
     """
     if row_perm is None and sort_rows:
         row_perm = degree_sort_perm(coo)
@@ -203,8 +211,9 @@ def coo_to_whell(
     vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
     res8 = np.zeros((total_slots, _HACK), dtype=np.int8)
     pt8 = np.zeros((total_slots, 128), dtype=np.int8)
-    vals[slot, lane[order]] = vals_in[order]
-    res8[slot, lane[order]] = res_s.astype(np.int8)
+    lane_o = lane[order]
+    vals[slot, lane_o] = vals_in[order]
+    res8[slot, lane_o] = res_s.astype(np.int8)
     pt8[slot, res_s] = del_s.astype(np.int8)
 
     # --- per-tile scalars ------------------------------------------------
@@ -228,7 +237,7 @@ def coo_to_whell(
         perm_p[: row_perm.size] = row_perm
         perm_arr = jnp.asarray(perm_p)
 
-    return WhellMatrix(
+    out = WhellMatrix(
         values=jnp.asarray(vals),
         residue=jnp.asarray(res8),
         page_tab=jnp.asarray(pt8),
@@ -244,6 +253,37 @@ def coo_to_whell(
         nnz=m,
         x_pages=nsp * 8,
     )
+    if return_plan:
+        # entry i of the ORIGINAL coo lives at cell (plan_slot[i], plan_lane[i])
+        inv_order = np.empty(m, dtype=np.int64)
+        inv_order[order] = np.arange(m)
+        return out, (slot[inv_order], lane[np.arange(coo.nnz)])
+    return out
+
+
+def whell_update_values(a: WhellMatrix, plan, new_values) -> WhellMatrix:
+    """Refresh the value slab for a matrix with the SAME pattern.
+
+    ``plan`` is the ``(slot, lane)`` cell map from
+    ``coo_to_whell(..., return_plan=True)``; ``new_values`` are in the
+    original COO entry order.  Duplicate coordinates occupy distinct
+    cells in WHELL (both contribute), so each entry updates its own
+    cell.  The analogue of ``spgpu?ellcsput`` (which, note, ignores its
+    ``alpha`` argument — ``ell_csput_base.cuh:44-73`` — a reference bug
+    we don't replicate: this function plainly stores).
+    """
+    import jax.numpy as jnp
+
+    slot, lane = plan
+    vals = np.zeros((a.total_slots, _HACK), dtype=np.asarray(a.values).dtype)
+    vals[slot, lane] = np.asarray(new_values, dtype=vals.dtype)
+    return dataclasses_replace_values(a, jnp.asarray(vals))
+
+
+def dataclasses_replace_values(a: WhellMatrix, values):
+    import dataclasses
+
+    return dataclasses.replace(a, values=values)
 
 
 def _empty_whell(coo, num_hacks, nsp, val_dtype, row_perm):

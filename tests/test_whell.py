@@ -141,3 +141,24 @@ def test_bf16_value_slabs():
     rel = np.abs(np.asarray(z) - ref).max() / np.abs(ref).max()
     assert rel < 0.03  # bf16 has ~8 mantissa bits
     assert np.asarray(z).dtype == np.float32
+
+
+def test_update_values_same_pattern():
+    """Pattern-reuse value refresh (the ellcsput analogue for
+    time-dependent problems)."""
+    from spgpu_tpu.convert.whell import whell_update_values
+    from spgpu_tpu.formats.coo import CooMatrix
+
+    coo = random_fem_like(2000, 10.0, span=150, far_frac=0.02, seed=11,
+                          dtype=np.float32)
+    a, plan = coo_to_whell(coo, return_plan=True)
+    rng = np.random.default_rng(3)
+    newv = rng.standard_normal(coo.nnz).astype(np.float32)
+    a2 = whell_update_values(a, plan, newv)
+    coo2 = CooMatrix(coo.rows, coo.cols, newv, coo.n_rows, coo.n_cols)
+    x = rng.standard_normal(coo.n_cols).astype(np.float32)
+    z = whell_spmv_pallas(a2, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(z), coo2.spmv(x), rtol=2e-5,
+                               atol=2e-5)
+    # layout metadata untouched
+    np.testing.assert_array_equal(np.asarray(a.residue), np.asarray(a2.residue))
