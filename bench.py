@@ -45,7 +45,7 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     n = 1 << 18 if on_tpu else 1 << 13
-    iters = 50 if on_tpu else 5
+    iters = 200 if on_tpu else 5
 
     coo = random_fem_like(n, avg_nnz_per_row=27.0, span=768, far_frac=0.01,
                           seed=0, dtype=np.float32)
@@ -66,17 +66,20 @@ def main():
         def body(_, c):
             return whell_spmv(a, c) * scale
 
-        return jax.lax.fori_loop(0, iters, body, x0)
+        # reduce to a scalar INSIDE jit: the host fence then reads 4
+        # bytes, not the whole vector (the tunnel readback of a 1 MB
+        # result measures ~50 ms — it was half the apparent SpMV time)
+        return jax.lax.fori_loop(0, iters, body, x0).sum()
 
     # warm-up + checksum (hellPerf.cpp:209-234)
     z = spmv(a, x)
     checksum = float(dot(z, z))
-    float(timed(a, x).sum())  # compile + full execution fence
+    float(timed(a, x))  # compile + full execution fence
 
     t = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        s = float(timed(a, x).sum())
+        s = float(timed(a, x))
         t = min(t, (time.perf_counter() - t0) / iters)
 
     gflops = (2.0 * nnz - 1.0) / t * 1e-9

@@ -57,13 +57,16 @@ def _time_chained(spmv: Callable, a, x, iters: int) -> float:
         def body(_, c):
             return spmv(a, c) * scale
 
-        return jax.lax.fori_loop(0, iters, body, x0)
+        # scalar reduction inside jit: the host fence reads 4 bytes,
+        # not the result vector (tunnel readback is ~20-100 MB/s and
+        # would dominate the apparent kernel time)
+        return jax.lax.fori_loop(0, iters, body, x0).sum()
 
-    float(timed(a, x).sum())  # compile + execute fence
+    float(timed(a, x))  # compile + execute fence
     t = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(timed(a, x).sum())
+        float(timed(a, x))
         t = min(t, (time.perf_counter() - t0) / iters)
     return t
 

@@ -37,13 +37,15 @@ def time_op(op: Callable, a, x, iters: int = 20, repeats: int = 3) -> float:
         def body(_, c):
             return op(a, c) * scale
 
-        return jax.lax.fori_loop(0, iters, body, x0)
+        # scalar reduction inside jit: the host fence reads 4 bytes,
+        # not the result vector (tunnel readback would dominate)
+        return jax.lax.fori_loop(0, iters, body, x0).sum()
 
-    float(chained(a, x).sum())  # compile + fence
+    float(chained(a, x))  # compile + fence
     t = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(chained(a, x).sum())
+        float(chained(a, x))
         t = min(t, (time.perf_counter() - t0) / iters)
     return t
 
