@@ -45,8 +45,9 @@ class BenchResult:
 
 
 def _time_chained(spmv: Callable, a, x, iters: int) -> float:
-    """One jitted chained loop; fence via host readback (axon's
-    block_until_ready does not synchronise — bench.py module note)."""
+    """One jitted chained loop; 4-byte scalar fence.  ``iters`` must be
+    large (~200) on the axon runtime: each call pays a ~25-30 ms tunnel
+    round trip that only amortises across the in-loop iterations."""
     import jax
     import jax.numpy as jnp
 
@@ -173,7 +174,7 @@ def run_suite(size: str = "small", out=print):
         "fem_irregular", "whell_pallas", fem, coo_to_whell,
         lambda a, x: whell_spmv(a, x),
         lambda a, coo: a.values.size * 6 + coo.n_rows * 8,
-        iters=30 if big else 5,
+        iters=200 if big else 5,
     ))
 
     # -- WHDIA on banded (the HDIA-class config) -------------------------
@@ -185,7 +186,7 @@ def run_suite(size: str = "small", out=print):
         "banded", "whdia_pallas", band, coo_to_whdia,
         lambda a, x: whdia_spmv(a, x),
         lambda a, coo: a.values.size * 4 + coo.n_rows * 8,
-        iters=30 if big else 5,
+        iters=200 if big else 5,
     ))
 
     # -- 8-RHS SpMM: Pallas loop-of-SpMV on WHELL ------------------------
@@ -196,7 +197,7 @@ def run_suite(size: str = "small", out=print):
         lambda a, x: whell_spmm(
             a, jnp.broadcast_to(x, (8,) + x.shape)).sum(axis=0) / 8,
         lambda a, coo: 8 * (a.values.size * 6 + coo.n_rows * 8),
-        iters=10 if big else 3, flops_factor=8.0,
+        iters=50 if big else 3, flops_factor=8.0,
     ))
 
     # -- 8-RHS SpMM through the XLA multivector path (small instance —
