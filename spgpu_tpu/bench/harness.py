@@ -194,8 +194,12 @@ def run_suite(size: str = "small", out=print):
 
     emit(run_config(
         "fem_irregular", "whell_pallas_spmm8", fem, coo_to_whell,
+        # distinct per-RHS scalings: identical broadcast RHS lets XLA
+        # CSE the 8 products into one (measured as an impossible >1.0
+        # roofline fraction)
         lambda a, x: whell_spmm(
-            a, jnp.broadcast_to(x, (8,) + x.shape)).sum(axis=0) / 8,
+            a, x[None, :] * (1.0 + jnp.arange(8, dtype=x.dtype))[:, None]
+        ).sum(axis=0) / 8,
         lambda a, coo: 8 * (a.values.size * 6 + coo.n_rows * 8),
         iters=50 if big else 3, flops_factor=8.0,
     ))
