@@ -25,6 +25,8 @@ from spgpu_tpu.formats import (
     EllMatrix,
     HdiaMatrix,
     HellMatrix,
+    WhdiaMatrix,
+    WhellMatrix,
 )
 
 __version__ = "0.1.0"
