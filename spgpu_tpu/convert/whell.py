@@ -82,6 +82,7 @@ def coo_to_whell(
     sort_rows: bool = False,
     dtype=None,
     return_plan: bool = False,
+    ways: int = 1,
 ):
     """Build a :class:`WhellMatrix` from host COO triples.
 
@@ -98,7 +99,29 @@ def coo_to_whell(
     layout construction — the time-dependent-PDE analogue of the
     reference's ``spgpu?ellcsput`` update-in-place kernels
     (``ell_csput_base.cuh:44-73``).
+
+    ``ways > 1`` splits every row into ``ways`` virtual rows (entries
+    round-robined) before layout; the kernel output is reduced back by
+    summing way groups.  Group widths are per-row MAXIMA, so spreading
+    each row's entries over ``ways`` lanes smooths the max-vs-mean
+    raggedness that drives padding on irregular matrices, at the cost of
+    a ``ways``× larger output accumulator.
     """
+    if ways > 1:
+        if row_perm is not None or sort_rows or return_plan:
+            raise ValueError("ways>1 is incompatible with row_perm/plan")
+        order0 = np.lexsort((coo.cols, coo.rows))
+        rows_o = coo.rows[order0]
+        starts = np.flatnonzero(np.r_[True, rows_o[1:] != rows_o[:-1]])
+        runs = np.diff(np.r_[starts, rows_o.size])
+        k_in_row = np.arange(rows_o.size) - np.repeat(starts, runs)
+        vrows = rows_o * ways + (k_in_row % ways)
+        vcoo = CooMatrix(vrows, coo.cols[order0], coo.values[order0],
+                         coo.n_rows * ways, coo.n_cols)
+        out = coo_to_whell(vcoo, dtype=dtype)
+        import dataclasses as _dc
+
+        return _dc.replace(out, ways=ways)
     if row_perm is None and sort_rows:
         row_perm = degree_sort_perm(coo)
     if row_perm is not None:

@@ -71,6 +71,9 @@ class WhellMatrix:
     nnz: int = dataclasses.field(metadata=dict(static=True))
     #: rows of the kernel's x2d operand; static so jit never reads data.
     x_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
+    #: way-split factor: n_rows counts VIRTUAL rows (true rows × ways);
+    #: the SpMV epilogue sums each way group back to one true row.
+    ways: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     hack_size = 128  # lane width; fixed by the layout
     group_hacks = 8  # hacks per output z block

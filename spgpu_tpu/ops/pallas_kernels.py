@@ -377,6 +377,9 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
         out = jnp.zeros((a.rows_padded,), acc.dtype)
         acc = out.at[a.row_perm].set(acc[: a.row_perm.shape[0]])
     acc = acc[: a.n_rows]
+    if a.ways > 1:
+        # way-split rows: sum each way group back to one true row
+        acc = acc.reshape(a.n_rows // a.ways, a.ways).sum(axis=1)
     is_zero = isinstance(beta, (int, float)) and beta == 0
     if is_zero or y is None:
         return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc

@@ -162,3 +162,18 @@ def test_update_values_same_pattern():
                                atol=2e-5)
     # layout metadata untouched
     np.testing.assert_array_equal(np.asarray(a.residue), np.asarray(a2.residue))
+
+
+def test_way_split_rows():
+    """ways>1 splits rows into virtual rows and reduces way groups back;
+    measured on v5e: padding got WORSE on the fem profile (group-count
+    fragmentation beats max-smoothing at ~0.9 entries/row/page) — kept
+    as an option for dense-row profiles, documented in DESIGN.md."""
+    coo = random_fem_like(3000, 12.0, span=200, far_frac=0.02, seed=9,
+                          dtype=np.float32)
+    x = np.random.default_rng(7).standard_normal(coo.n_cols).astype(np.float32)
+    ref = coo.spmv(x)
+    for w in (2, 4):
+        a = coo_to_whell(coo, ways=w)
+        z = whell_spmv_pallas(a, jnp.asarray(x), interpret=True)
+        np.testing.assert_allclose(np.asarray(z), ref, rtol=3e-5, atol=3e-5)
