@@ -98,6 +98,27 @@ class CooMatrix:
         np.add.at(np.moveaxis(out, -1, 0), self.rows, prod)
         return out
 
+    @classmethod
+    def from_scipy(cls, m) -> "CooMatrix":
+        """Build from any scipy.sparse matrix (kept un-coalesced if the
+        input is; scipy coo duplicates survive as separate entries)."""
+        c = m.tocoo()
+        return cls(
+            np.asarray(c.row, dtype=np.int64),
+            np.asarray(c.col, dtype=np.int64),
+            np.asarray(c.data),
+            int(c.shape[0]),
+            int(c.shape[1]),
+        )
+
+    def to_scipy(self):
+        """Export as scipy.sparse.coo_matrix (duplicates preserved)."""
+        import scipy.sparse as sp
+
+        return sp.coo_matrix(
+            (self.values, (self.rows, self.cols)), shape=self.shape
+        )
+
     def row_lengths(self) -> np.ndarray:
         """Per-row nnz histogram; mirrors ``computeEllRowLenghts``
         (``ell.c:5-31``)."""

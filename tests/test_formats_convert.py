@@ -201,3 +201,19 @@ def test_hdia_hack_offsets_parity():
     dense = coo.to_dense()
     blocks = dense.reshape(175, 4, 175, 4).transpose(0, 2, 1, 3)
     assert nb == int((blocks != 0).any(axis=(2, 3)).sum())
+
+
+def test_scipy_interop():
+    import scipy.sparse as sp
+
+    from spgpu_tpu.formats.coo import CooMatrix
+
+    rng = np.random.default_rng(0)
+    m = sp.random(50, 70, density=0.1, random_state=1, format="csr")
+    coo = CooMatrix.from_scipy(m)
+    np.testing.assert_allclose(coo.to_dense(), m.toarray())
+    back = coo.to_scipy()
+    np.testing.assert_allclose(back.toarray(), m.toarray())
+    # golden spmv agrees with scipy
+    x = rng.standard_normal(70)
+    np.testing.assert_allclose(coo.spmv(x), m @ x)
