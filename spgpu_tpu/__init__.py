@@ -6,13 +6,20 @@ signature HELL (Hacked ELLpack) and HDIA (Hacked DIA) sparse formats, SpMV
 and multi-RHS SpMM kernels, a full BLAS-1 vector suite, host-side COO
 conversions and Matrix Market I/O — rebuilt for TPU:
 
-* kernels in Pallas over slot-major (slots × 128-lane-rows) HBM slabs,
-  with an XLA fallback path covering every dtype (fp32/fp64/bf16/complex);
+* TPU compute layouts designed around Mosaic's aligned gather primitives
+  — WHELL (mixed-page slots + residue-indexed page tables) and WHDIA
+  (index sets reconstructed arithmetically; values-only traffic) — with
+  Pallas kernels measured at 17 / 42–60 GFLOPS fp32 on a v5e where the
+  XLA gather path manages 0.16 (see doc/DESIGN.md, BASELINE.md);
+* reference-parity ELL/HELL/DIA/HDIA formats on a portable XLA path
+  covering every dtype (fp32/fp64/bf16/complex);
 * reductions stay device-resident (the reference round-trips every dot to
   the host, ``sdot.cu:154-159``);
 * a distributed layer the reference never had (SURVEY §2.6): row-partition
-  over a ``jax.sharding.Mesh``, halo exchange of x over ICI collectives,
-  and a distributed CG solver.
+  over a ``jax.sharding.Mesh``, halo plans exchanged by one
+  ``all_to_all`` per product, and distributed CG/BiCGSTAB under one jit;
+* native C++ where sequential inner loops warrant it
+  (``spgpu_tpu/native``).
 """
 
 from spgpu_tpu import convert, formats, io, ops, parallel, solvers, utils
