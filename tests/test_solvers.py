@@ -63,3 +63,26 @@ def test_bicgstab_nonsymmetric():
     res = solvers.bicgstab(lambda v: ops.dia_spmv(dia, v), b, tol=1e-12, maxiter=4000)
     assert bool(res.converged)
     np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6, atol=1e-7)
+
+
+def test_cg_complex_hermitian():
+    """Complex hermitian positive-definite solve — the Z-precision CG
+    workload (the reference's C/Z kernels fed PSBLAS complex solvers)."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.ops import spmv
+    from spgpu_tpu.convert import coo_to_hell
+    from spgpu_tpu.solvers import cg
+
+    rng = np.random.default_rng(5)
+    n = 60
+    b_mat = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    dense = b_mat @ b_mat.conj().T + n * np.eye(n)  # HPD
+    rows, cols = np.nonzero(dense)
+    coo = CooMatrix(rows, cols, dense[rows, cols].astype(np.complex128), n, n)
+    a = coo_to_hell(coo)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    res = cg(lambda v: spmv(a, v), jnp.asarray(b), tol=1e-10, maxiter=500)
+    assert bool(res.converged)
+    np.testing.assert_allclose(dense @ np.asarray(res.x), b, atol=1e-7)
