@@ -31,7 +31,7 @@ from spgpu_tpu.ops.spmv_xla import (
 __all__ = [
     "spmv",
     "ell_spmv", "hell_spmv", "dia_spmv", "hdia_spmv", "bcoo_spmv",
-    "whell_spmv", "whell_spmm", "whdia_spmv",
+    "whell_spmv", "whell_spmm", "whdia_spmv", "whdia_spmm",
     "ell_csput", "hell_csput",
 ] + blas1.__all__
 
@@ -158,6 +158,26 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
         return whell_spmm_pallas(a, x, alpha, beta, y, interpret=interpret)
     zs = jnp.stack([
         whell_spmv_pallas(a, x[r], interpret=interpret)
+        for r in range(int(x.shape[0]))
+    ])
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
+    return alpha * zs + beta * y
+
+
+def whdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+    """Multi-RHS SpMM on WHDIA (``x``: ``(n_rhs, n_cols)``): one Pallas
+    SpMV per RHS under one jit (same strategy rationale as
+    :func:`whell_spmm`)."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.ops.pallas_kernels import whdia_spmv_pallas
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    zs = jnp.stack([
+        whdia_spmv_pallas(a, x[r], interpret=interpret)
         for r in range(int(x.shape[0]))
     ])
     is_zero = isinstance(beta, (int, float)) and beta == 0

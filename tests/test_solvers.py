@@ -86,3 +86,46 @@ def test_cg_complex_hermitian():
     res = cg(lambda v: spmv(a, v), jnp.asarray(b), tol=1e-10, maxiter=500)
     assert bool(res.converged)
     np.testing.assert_allclose(dense @ np.asarray(res.x), b, atol=1e-7)
+
+
+def test_high_level_solve_auto():
+    """solve(): format auto-selection + relabel + CG, original numbering."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.solvers import solve
+    from spgpu_tpu.utils.fixtures import laplacian_2d, random_banded
+
+    lap = laplacian_2d(24, 26, np.float32)
+    b = np.random.default_rng(9).standard_normal(lap.n_rows).astype(np.float32)
+    res = solve(lap, b, tol=1e-5, maxiter=4000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(lap.spmv(np.asarray(res.x)), b, atol=1e-3)
+
+    band = random_banded(700, bands=5, wander=0, seed=3, dtype=np.float32)
+    b2 = np.random.default_rng(10).standard_normal(700).astype(np.float32)
+    res2 = solve(band, b2, symmetric=False, tol=1e-6, maxiter=4000)
+    assert bool(res2.converged)
+    np.testing.assert_allclose(band.sum_duplicates().spmv(np.asarray(res2.x)),
+                               b2, atol=1e-2)
+
+
+def test_whell_forced_solve_roundtrips_permutation():
+    import jax.numpy as jnp
+
+    from spgpu_tpu.solvers import solve
+    from spgpu_tpu.utils.fixtures import random_fem_like
+
+    rng = np.random.default_rng(11)
+    coo0 = random_fem_like(1500, 10.0, span=120, far_frac=0.0, seed=12,
+                           dtype=np.float32)
+    # symmetrise + diagonal-dominate -> SPD
+    d = coo0.to_dense()
+    d = (d + d.T) / 2 + np.eye(1500) * (np.abs(d).sum(1).max() + 1)
+    rows, cols = np.nonzero(d)
+    from spgpu_tpu.formats.coo import CooMatrix
+
+    coo = CooMatrix(rows, cols, d[rows, cols].astype(np.float32), 1500, 1500)
+    b = rng.standard_normal(1500).astype(np.float32)
+    res = solve(coo, b, fmt="whell", tol=1e-5, maxiter=3000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(d @ np.asarray(res.x), b, atol=1e-2)
