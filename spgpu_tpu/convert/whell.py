@@ -251,6 +251,10 @@ def coo_to_whell(
         (g_hack % 8).astype(np.int32), raw_tiles_per_grp)
     chunk_group = np.repeat(np.arange(num_groups, dtype=np.int32),
                             pad_tiles_per_g8 // _CT)
+    # pack hh (3 bits) above the base page (<= 15 bits): halves per-call
+    # SMEM scalar staging AND the 1 MB SMEM budget (the size cap: two
+    # int32-per-tile arrays overflow SMEM near 1M rows)
+    tile_meta = (tile_base | (tile_hh << 16)).astype(np.int32)
 
     import jax.numpy as jnp
 
@@ -264,8 +268,8 @@ def coo_to_whell(
         values=jnp.asarray(vals),
         residue=jnp.asarray(res8),
         page_tab=jnp.asarray(pt8),
-        tile_base=jnp.asarray(tile_base),
-        tile_hh=jnp.asarray(tile_hh),
+        tile_base=jnp.asarray(tile_meta),
+        tile_hh=jnp.zeros((0,), jnp.int32),  # packed into tile_base
         chunk_group=jnp.asarray(chunk_group),
         row_perm=perm_arr,
         n_rows=coo.n_rows,

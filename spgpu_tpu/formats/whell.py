@@ -55,10 +55,14 @@ class WhellMatrix:
     residue: jax.Array  # int8 in [0, 128): col %% 128 of each cell
     page_tab: jax.Array  # int8 in [0, 8): page delta, indexed by RESIDUE
     # per-tile scalars (SMEM-prefetched; one entry per 8-slot tile)
-    tile_base: jax.Array  # (num_tiles,) int32: first x page of tile window
-    tile_hh: jax.Array  # (num_tiles,) int32: hack index within its 8-hack
-    #   output group (the HELL hackOffsets role, hell.h:37-43, is played
-    #   by the tile ordering: a group's tiles are contiguous)
+    tile_base: jax.Array  # (num_tiles,) int32: first x page of the tile
+    #   window (low 16 bits) | hack index within the 8-hack output group
+    #   (high bits) — one SMEM word per tile (two int32 arrays overflow
+    #   the 1 MB SMEM budget near 1M rows).  The HELL hackOffsets role
+    #   (hell.h:37-43) is played by tile ordering: a group's tiles are
+    #   contiguous.
+    tile_hh: jax.Array  # retired (packed into tile_base); kept empty for
+    #   pytree-shape compatibility
     chunk_group: jax.Array  # (num_chunks,) int32: 8-hack group of chunk
     # row permutation (stored-row -> original-row) or None
     row_perm: Optional[jax.Array]
@@ -109,8 +113,9 @@ class WhellMatrix:
         vals = np.asarray(self.values)
         res = np.asarray(self.residue).astype(np.int64)
         pt = np.asarray(self.page_tab).astype(np.int64)
-        tb = np.asarray(self.tile_base)
-        hh = np.asarray(self.tile_hh)
+        meta = np.asarray(self.tile_base).astype(np.int64)
+        tb = meta & 0xFFFF
+        hh = meta >> 16
         cg = np.asarray(self.chunk_group)
         from spgpu_tpu.core import CHUNK_TILES as _CT
 

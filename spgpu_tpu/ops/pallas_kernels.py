@@ -48,7 +48,7 @@ from spgpu_tpu.core import CHUNK_TILES as _CHUNK_TILES  # tiles per grid step
 from spgpu_tpu.core import WHDIA_CHUNK_TILES as _WHDIA_CT
 
 
-def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
+def _whell_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
                   pt_ref, x_hbm_ref, z_ref, x_vmem, xsem):
     """Grid = one step per chunk (CHUNK_TILES tiles; blocks must be 100s
     of KB — per-grid-step overhead on v5e is ~0.3-0.5 us).  The z block
@@ -73,7 +73,8 @@ def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
 
     for k in range(_CHUNK_TILES):
         t = c * _CHUNK_TILES + k
-        win8 = x_vmem[pl.ds(tbase_ref[t], 8), :]
+        meta = tmeta_ref[t]  # base page | hack-in-group << 16
+        win8 = x_vmem[pl.ds(jax.lax.bitwise_and(meta, jnp.int32(0xFFFF)), 8), :]
         res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         # page routing (sublane gather through the residue-indexed page
@@ -85,16 +86,17 @@ def _whell_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
         # (per-run accumulators with predicated flush, int32 index slabs,
         # and (32,128)-aligned int8 casts all measured neutral-or-worse;
         # the remaining per-tile cost looks latency-bound — DESIGN.md §4)
-        z_ref[pl.ds(thh_ref[t], 1), :, :] += (v * g)[None]
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        z_ref[pl.ds(hh, 1), :, :] += (v * g)[None]
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "interpret"))
-def _whell_spmv_call(values, residue, page_tab, tile_base, tile_hh,
-                     chunk_group, x2d, *, num_tiles, num_groups, x_pages,
+def _whell_spmv_call(values, residue, page_tab, tile_base, chunk_group,
+                     x2d, *, num_tiles, num_groups, x_pages,
                      interpret=False):
     num_chunks = num_tiles // _CHUNK_TILES
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
@@ -103,7 +105,7 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, tile_hh,
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
-            (8, 8, 128), lambda c, tb, th, cg: (cg[c], 0, 0)
+            (8, 8, 128), lambda c, tm, cg: (cg[c], 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((x_pages, 128), x2d.dtype),
@@ -120,11 +122,11 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, tile_hh,
             bytes_accessed=num_tiles * 8 * 128 * 6 + x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(tile_base, tile_hh, chunk_group, values, residue, page_tab, x2d)
+    )(tile_base, chunk_group, values, residue, page_tab, x2d)
     return acc.sum(axis=1)
 
 
-def _whell_spmm_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
+def _whell_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
                        pt_ref, x_hbm_ref, z_ref, x_vmem, xsem, *, n_rhs):
     """Multi-RHS WHELL SpMM: one slab pass computes all RHS columns —
     the slab (values + indices) is read once and amortised over n_rhs
@@ -148,11 +150,12 @@ def _whell_spmm_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
 
     for k in range(_CHUNK_TILES):
         t = c * _CHUNK_TILES + k
-        tb = tbase_ref[t]
+        meta = tmeta_ref[t]
+        tb = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
         res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         v = vals_ref[k * 8:(k + 1) * 8, :]
-        hh = thh_ref[t]
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
 
         # RHS loop as lax.fori: unrolling n_rhs x CHUNK_TILES bodies
         # explodes Mosaic compile time.
@@ -167,12 +170,12 @@ def _whell_spmm_kernel(tbase_ref, thh_ref, cgroup_ref, vals_ref, res_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "n_rhs", "interpret"))
-def _whell_spmm_call(values, residue, page_tab, tile_base, tile_hh,
-                     chunk_group, x3d, *, num_tiles, num_groups, x_pages,
+def _whell_spmm_call(values, residue, page_tab, tile_base, chunk_group,
+                     x3d, *, num_tiles, num_groups, x_pages,
                      n_rhs, interpret=False):
     num_chunks = num_tiles // _CHUNK_TILES
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((_CHUNK_TILES * 8, 128), lambda c, *_: (c, 0)),
@@ -181,7 +184,7 @@ def _whell_spmm_call(values, residue, page_tab, tile_base, tile_hh,
             pl.BlockSpec(memory_space=pl.ANY),  # x3d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
-            (n_rhs, 8, 8, 128), lambda c, tb, th, cg: (0, cg[c], 0, 0)
+            (n_rhs, 8, 8, 128), lambda c, tm, cg: (0, cg[c], 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((n_rhs, x_pages, 128), values.dtype),
@@ -201,7 +204,7 @@ def _whell_spmm_call(values, residue, page_tab, tile_base, tile_hh,
             + n_rhs * x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(tile_base, tile_hh, chunk_group, values, residue, page_tab, x3d)
+    )(tile_base, chunk_group, values, residue, page_tab, x3d)
     return acc.sum(axis=2)
 
 
@@ -219,8 +222,7 @@ def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     x3 = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     x3 = x3.reshape(n_rhs, a.x_pages, 128)
     z = _whell_spmm_call(
-        a.values, a.residue, a.page_tab, a.tile_base, a.tile_hh,
-        a.chunk_group, x3,
+        a.values, a.residue, a.page_tab, a.tile_base, a.chunk_group, x3,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
         n_rhs=n_rhs, interpret=interpret,
     )
@@ -364,8 +366,7 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     """
     x2d = _prep_x(x, a.n_cols, a.x_pages)
     z = _whell_spmv_call(
-        a.values, a.residue, a.page_tab, a.tile_base, a.tile_hh,
-        a.chunk_group, x2d,
+        a.values, a.residue, a.page_tab, a.tile_base, a.chunk_group, x2d,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
         interpret=interpret,
     )
