@@ -111,6 +111,9 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
     tile_base[tile_final] = tb_raw.astype(np.int32)
     tile_hh = np.zeros(num_tiles, dtype=np.int32)
     tile_hh[tile_final] = (tile_hack_a % _GROUP).astype(np.int32)
+    # pack hh above the base page: one SMEM word per tile (same budget
+    # fix as WHELL; hh < 32 needs 5 bits, base page <= 15 bits)
+    tile_meta = (tile_base | (tile_hh << 16)).astype(np.int32)
     chunk_group = np.repeat(np.arange(num_groups, dtype=np.int32),
                             pad_tiles_per_group // _CT)
 
@@ -132,8 +135,8 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
     return WhdiaMatrix(
         values=jnp.asarray(vals),
         slot_r0=jnp.asarray(slot_r0p),
-        tile_base=jnp.asarray(tile_base),
-        tile_hh=jnp.asarray(tile_hh),
+        tile_base=jnp.asarray(tile_meta),
+        tile_hh=jnp.zeros((0,), jnp.int32),  # packed into tile_base
         chunk_group=jnp.asarray(chunk_group),
         n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
         num_groups=num_groups, total_slots=total_slots, nnz=m,

@@ -50,7 +50,8 @@ class WhdiaMatrix:
     slot_r0: jax.Array  # (total_slots // 2,) int32: two packed biased
     #   16-bit values (r0 + 128) per word; r0 = h*128 + d - 128*tile_base
     tile_base: jax.Array  # (num_tiles,) int32: first x page of the tile
-    tile_hh: jax.Array  # (num_tiles,) int32: hack index within its group
+    #   (low 16 bits) | hack index within the 32-hack group (high bits)
+    tile_hh: jax.Array  # retired (packed into tile_base); kept empty
     chunk_group: jax.Array  # (num_tiles // 8,) int32: 8-hack group of chunk
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -93,8 +94,9 @@ class WhdiaMatrix:
         r0 = np.empty(packed.size * 2, dtype=np.int64)
         r0[0::2] = (packed & 0xFFFF) - 128
         r0[1::2] = ((packed >> 16) & 0xFFFF) - 128
-        tb = np.asarray(self.tile_base)
-        hh = np.asarray(self.tile_hh)
+        meta = np.asarray(self.tile_base).astype(np.int64)
+        tb = meta & 0xFFFF
+        hh = meta >> 16
         cg = np.asarray(self.chunk_group)
         out = np.zeros((self.n_rows, self.n_cols), dtype=vals.dtype)
         lane = np.arange(128)

@@ -237,7 +237,7 @@ def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     return alpha * acc + beta * y
 
 
-def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,
+def _whdia_kernel(r0_ref, tmeta_ref, cgroup_ref, vals_ref,
                   x_hbm_ref, z_ref, x_vmem, xsem):
     """WHDIA SpMV: values-only traffic.  Each slot's x window is the
     contiguous rotation x[h*128 + d + lane]; both gather index sets are
@@ -262,7 +262,8 @@ def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     for k in range(_WHDIA_CT):
         t = c * _WHDIA_CT + k
-        win8 = x_vmem[pl.ds(tbase_ref[t], 8), :]  # (8, 128)
+        meta = tmeta_ref[t]  # base page | hack-in-group << 16
+        win8 = x_vmem[pl.ds(jax.lax.bitwise_and(meta, jnp.int32(0xFFFF)), 8), :]
         # slot_r0 packs two biased 16-bit values per int32 word (SMEM
         # budget); tile-local parity is static so the shifts are free.
         r0 = jnp.stack([
@@ -281,24 +282,24 @@ def _whdia_kernel(r0_ref, tbase_ref, thh_ref, cgroup_ref, vals_ref,
         h1 = jnp.take_along_axis(win8, pt, axis=0)
         g = jnp.take_along_axis(h1, idx, axis=1)
         contrib = vals_ref[k * 8:(k + 1) * 8, :] * g
-        hh = thh_ref[t]
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
         z_ref[pl.ds(hh, 1), :, :] += contrib[None]
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "interpret"))
-def _whdia_spmv_call(values, slot_r0, tile_base, tile_hh, chunk_group,
+def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
                      x2d, *, num_tiles, num_groups, x_pages,
                      interpret=False):
     num_chunks = num_tiles // _WHDIA_CT
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
-            (32, 8, 128), lambda c, r0, tb, th, cg: (cg[c], 0, 0)
+            (32, 8, 128), lambda c, r0, tm, cg: (cg[c], 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((x_pages, 128), values.dtype),
@@ -315,7 +316,7 @@ def _whdia_spmv_call(values, slot_r0, tile_base, tile_hh, chunk_group,
             bytes_accessed=num_tiles * 8 * 128 * 4 + x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(slot_r0, tile_base, tile_hh, chunk_group, values, x2d)
+    )(slot_r0, tile_base, chunk_group, values, x2d)
     return acc.sum(axis=1)
 
 
@@ -325,7 +326,7 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     match ``spgpu?hdiaspmv`` (``hdia_spmv_base.cuh:114-127``)."""
     x2d = _prep_x(x, a.n_cols, a.x_pages)
     z = _whdia_spmv_call(
-        a.values, a.slot_r0, a.tile_base, a.tile_hh, a.chunk_group, x2d,
+        a.values, a.slot_r0, a.tile_base, a.chunk_group, x2d,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
         interpret=interpret,
     )
