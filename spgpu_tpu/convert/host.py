@@ -114,10 +114,15 @@ def compute_hdia_hack_offsets_from_coo(
     hacks = max(get_hdia_hacks_count(coo.n_rows, hack_size), 1)
     off = np.zeros(hacks + 1, dtype=np.int64)
     if coo.nnz:
-        h = coo.rows // hack_size
-        d = coo.cols - coo.rows
-        per_hack = np.unique(h * (2 * coo.n_cols + 1) + (d + coo.n_cols))
-        counts = np.bincount(per_hack // (2 * coo.n_cols + 1), minlength=hacks)
+        h = coo.rows.astype(np.int64) // hack_size
+        d = coo.cols.astype(np.int64) - coo.rows
+        # diagonal range is [-(n_rows-1), n_cols-1]; bias by n_rows and use
+        # a span covering both so keys stay non-negative and collision-free
+        # for rectangular (tall or wide) shapes — the reference handles
+        # these via per-hack std::map buckets (hdia.cpp:161-228).
+        span = coo.n_rows + coo.n_cols
+        per_hack = np.unique(h * span + (d + coo.n_rows))
+        counts = np.bincount(per_hack // span, minlength=hacks)
         np.cumsum(counts, out=off[1:])
     return off
 

@@ -60,8 +60,10 @@ def estimate_formats(coo: CooMatrix, itemsize: int = 4) -> Dict[str, FormatEstim
     cells = ndiag * rows_p
     out["dia"] = FormatEstimate("dia", cells * itemsize, cells / m)
 
-    # WHDIA: distinct (hack, diagonal) pairs × 128 lanes, values only
-    hd = np.unique(hack * (2 * n + 1) + (diag + n)).size
+    # WHDIA: distinct (hack, diagonal) pairs × 128 lanes, values only.
+    # diag spans [-(n-1), n_cols-1]: bias by n and pack with span n+n_cols
+    # so keys stay collision-free for rectangular shapes.
+    hd = np.unique(hack.astype(np.int64) * (n + coo.n_cols) + (diag + n)).size
     cells = hd * 128
     out["whdia"] = FormatEstimate("whdia", cells * itemsize, cells / m)
 

@@ -43,21 +43,6 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pallas_mod():
-    from spgpu_tpu.ops import pallas_kernels
-
-    return pallas_kernels
-
-
-def _dispatch(fmt: str, a, dtype) -> str:
-    # The reference-parity formats (ELL/HELL/DIA/HDIA) always run the
-    # portable XLA path; the Pallas fast paths live on the WHELL/WHDIA
-    # compute layouts (convert.coo_to_whell / coo_to_whdia).  This is
-    # the TPU analogue of the reference's per-matrix variant dispatcher
-    # (ell_spmv_base.cuh:122-143): pick the kernel family by layout.
-    return "xla"
-
-
 def ell_spmv(a: EllMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
     """``z = beta*y + alpha*(A @ x)`` for ELL/OELL; ↔ ``spgpu?ellspmv``.
 

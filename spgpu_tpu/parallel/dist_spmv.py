@@ -58,11 +58,11 @@ def local_matvec(pm, axis: str, lpm, x_local):
 
         a_int = pm.local_interior(tuple(l[0] for l in (
             lpm.int_values, lpm.int_residue, lpm.int_page_tab,
-            lpm.int_tile_base, lpm.int_tile_hh, lpm.int_chunk_group)))
+            lpm.int_tile_base, lpm.int_chunk_group)))
         z = whell_spmv(a_int, xl)
         a_ext = pm.local_exterior(tuple(l[0] for l in (
             lpm.ext_values, lpm.ext_residue, lpm.ext_page_tab,
-            lpm.ext_tile_base, lpm.ext_tile_hh, lpm.ext_chunk_group)))
+            lpm.ext_tile_base, lpm.ext_chunk_group)))
         return (z + whell_spmv(a_ext, halo))[None]
     # interior SpMV — independent of the collective; XLA overlaps them
     a_int = pm.local_interior(

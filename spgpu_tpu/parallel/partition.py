@@ -123,6 +123,10 @@ class PartitionedMatrix:
     hack_size: int = dataclasses.field(metadata=dict(static=True))
     halo_width: int = dataclasses.field(metadata=dict(static=True))  # K
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # true slab invariants (max over shards), computed at build time so the
+    # shard-local HellMatrix views carry honest metadata
+    int_max_hack_width: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ext_max_hack_width: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def dtype(self):
@@ -150,7 +154,8 @@ class PartitionedMatrix:
             row_lengths=None, row_perm=None,
             n_rows=self.chunk, n_cols=self.chunk, hack_size=self.hack_size,
             total_slots=vals.shape[0],
-            max_hack_width=vals.shape[0], avg_nnz_per_row=0.0,
+            max_hack_width=self.int_max_hack_width,
+            avg_nnz_per_row=self.nnz / max(self.padded_rows, 1),
         )
 
     def local_exterior(self, vals, cols, ho, s2h) -> HellMatrix:
@@ -160,7 +165,8 @@ class PartitionedMatrix:
             row_lengths=None, row_perm=None,
             n_rows=self.chunk, n_cols=self.n_shards * self.halo_width,
             hack_size=self.hack_size, total_slots=vals.shape[0],
-            max_hack_width=vals.shape[0], avg_nnz_per_row=0.0,
+            max_hack_width=self.ext_max_hack_width,
+            avg_nnz_per_row=self.nnz / max(self.padded_rows, 1),
         )
 
 
@@ -259,6 +265,9 @@ def partition_coo_rows(
     ev, ec_, eho, es2h = stack(ext_slabs)
     import jax.numpy as jnp
 
+    def max_hw(slabs):
+        return max(int(np.diff(sl[2]).max()) for sl in slabs)
+
     return PartitionedMatrix(
         int_values=jnp.asarray(iv), int_cols=jnp.asarray(ic),
         int_hack_offsets=jnp.asarray(iho), int_slot_to_hack=jnp.asarray(is2h),
@@ -267,6 +276,8 @@ def partition_coo_rows(
         send_idx=jnp.asarray(send_idx),
         n_rows=n, n_shards=n_shards, chunk=chunk, hack_size=hack_size,
         halo_width=K, nnz=coo.nnz,
+        int_max_hack_width=max_hw(int_slabs),
+        ext_max_hack_width=max_hw(ext_slabs),
     )
 
 

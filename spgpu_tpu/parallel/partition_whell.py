@@ -32,14 +32,12 @@ class PartitionedWhell:
     int_residue: jax.Array
     int_page_tab: jax.Array
     int_tile_base: jax.Array
-    int_tile_hh: jax.Array
     int_chunk_group: jax.Array
     # exterior slab leaves (columns index the halo buffer)
     ext_values: jax.Array
     ext_residue: jax.Array
     ext_page_tab: jax.Array
     ext_tile_base: jax.Array
-    ext_tile_hh: jax.Array
     ext_chunk_group: jax.Array
     # halo plan
     send_idx: jax.Array  # (S, S, K)
@@ -67,9 +65,9 @@ class PartitionedWhell:
 
     def local_interior(self, leaves) -> WhellMatrix:
         num_hacks, num_groups, total_slots, x_pages = self.int_meta
-        v, r, p, tb, th, cg = leaves
+        v, r, p, tb, cg = leaves
         return WhellMatrix(
-            values=v, residue=r, page_tab=p, tile_base=tb, tile_hh=th,
+            values=v, residue=r, page_tab=p, tile_base=tb,
             chunk_group=cg, row_perm=None,
             n_rows=self.chunk, n_cols=self.chunk, num_hacks=num_hacks,
             num_groups=num_groups, total_slots=total_slots, nnz=0,
@@ -78,9 +76,9 @@ class PartitionedWhell:
 
     def local_exterior(self, leaves) -> WhellMatrix:
         num_hacks, num_groups, total_slots, x_pages = self.ext_meta
-        v, r, p, tb, th, cg = leaves
+        v, r, p, tb, cg = leaves
         return WhellMatrix(
-            values=v, residue=r, page_tab=p, tile_base=tb, tile_hh=th,
+            values=v, residue=r, page_tab=p, tile_base=tb,
             chunk_group=cg, row_perm=None,
             n_rows=self.chunk, n_cols=self.n_shards * self.halo_width,
             num_hacks=num_hacks, num_groups=num_groups,
@@ -104,13 +102,12 @@ def _pad_stack_whell(mats):
         shape = (pad,) if a.ndim == 1 else (pad, lanes)
         return np.concatenate([a, np.full(shape, fill, dtype=a.dtype)])
 
-    vals, res, pt, tb, th, cg = [], [], [], [], [], []
+    vals, res, pt, tb, cg = [], [], [], [], []
     for m in mats:
         vals.append(pad_tiles(m, m.values, False, 128))
         res.append(pad_tiles(m, m.residue, False, 128))
         pt.append(pad_tiles(m, m.page_tab, False, 128))
         tb.append(pad_tiles(m, m.tile_base, True, 0))
-        th.append(pad_tiles(m, m.tile_hh, True, 0))
         # pad chunks keep the last group id: they accumulate only zeros
         cga = np.asarray(m.chunk_group)
         want_c = t_max // _CT
@@ -120,7 +117,7 @@ def _pad_stack_whell(mats):
             ])
         cg.append(cga)
     leaves = tuple(
-        jax.numpy.asarray(np.stack(x)) for x in (vals, res, pt, tb, th, cg)
+        jax.numpy.asarray(np.stack(x)) for x in (vals, res, pt, tb, cg)
     )
     m0 = mats[0]
     meta = (m0.num_hacks, m0.num_groups, t_max * 8, m0.x_pages)
@@ -201,10 +198,10 @@ def partition_coo_rows_whell(
     return PartitionedWhell(
         int_values=int_leaves[0], int_residue=int_leaves[1],
         int_page_tab=int_leaves[2], int_tile_base=int_leaves[3],
-        int_tile_hh=int_leaves[4], int_chunk_group=int_leaves[5],
+        int_chunk_group=int_leaves[4],
         ext_values=ext_leaves[0], ext_residue=ext_leaves[1],
         ext_page_tab=ext_leaves[2], ext_tile_base=ext_leaves[3],
-        ext_tile_hh=ext_leaves[4], ext_chunk_group=ext_leaves[5],
+        ext_chunk_group=ext_leaves[4],
         send_idx=jnp.asarray(send_idx),
         n_rows=n, n_shards=n_shards, chunk=chunk, halo_width=K,
         nnz=coo.nnz, int_meta=int_meta, ext_meta=ext_meta,

@@ -50,6 +50,11 @@ def solve(
 
     if coo.n_rows != coo.n_cols:
         raise ValueError("solve requires a square system")
+    # Coalesce duplicates ONCE, up front: WHELL keeps duplicates additive
+    # while WHDIA plain-stores (last-write-wins, like coo2dia) — without
+    # this, a duplicated COO would solve a different matrix depending on
+    # which layout the auto-selector picks.
+    coo = coo.sum_duplicates()
     if fmt is None:
         fmt = suggest_format(coo)
         if fmt in ("dia", "ell"):  # compute layouts for the chosen class
@@ -63,7 +68,7 @@ def solve(
         a = coo_to_whell(work)
         mv = lambda v: whell_spmv(a, v)
     elif fmt == "whdia":
-        a = coo_to_whdia(work.sum_duplicates())
+        a = coo_to_whdia(work)
         mv = lambda v: whdia_spmv(a, v)
     elif fmt == "hell":
         a = coo_to_hell(work)

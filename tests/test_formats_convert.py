@@ -203,6 +203,53 @@ def test_hdia_hack_offsets_parity():
     assert nb == int((blocks != 0).any(axis=(2, 3)).sum())
 
 
+def test_hdia_hack_offsets_rectangular():
+    """Tall/wide matrices: diagonal offsets go negative past n_cols (tall)
+    or exceed n_rows (wide); the key packing must stay collision-free —
+    the reference handles this with per-hack map buckets (hdia.cpp:161-228).
+    Regression for a ValueError('negative elements') on tall inputs."""
+    from spgpu_tpu.convert import (
+        compute_hdia_hack_offsets_from_coo,
+        coo_to_hdia_size,
+    )
+
+    rng = np.random.default_rng(0)
+    for n_rows, n_cols in [(300, 10), (10, 300), (513, 4), (4, 513)]:
+        m = 200
+        rows = rng.integers(0, n_rows, m)
+        cols = rng.integers(0, n_cols, m)
+        coo = CooMatrix.from_arrays(rows, cols, np.ones(m), n_rows, n_cols
+                                    ).sum_duplicates()
+        off = compute_hdia_hack_offsets_from_coo(coo)
+        # brute-force distinct (hack, diagonal) count per hack
+        h = coo.rows // 128
+        d = coo.cols.astype(np.int64) - coo.rows
+        expect = np.zeros(off.size - 1, dtype=np.int64)
+        for hk in range(off.size - 1):
+            expect[hk] = np.unique(d[h == hk]).size
+        np.testing.assert_array_equal(np.diff(off), expect)
+        assert coo_to_hdia_size(coo) == off[-1] * 128
+
+
+def test_estimate_formats_rectangular_whdia_count():
+    """suggest_format's WHDIA slab estimate must count (hack, diagonal)
+    pairs exactly on wide matrices (key-collision regression)."""
+    from spgpu_tpu.convert.select import estimate_formats
+
+    rng = np.random.default_rng(1)
+    n_rows, n_cols = 40, 5000
+    m = 600
+    coo = CooMatrix.from_arrays(
+        rng.integers(0, n_rows, m), rng.integers(0, n_cols, m),
+        np.ones(m), n_rows, n_cols,
+    ).sum_duplicates()
+    est = estimate_formats(coo)
+    h = coo.rows // 128
+    d = coo.cols.astype(np.int64) - coo.rows
+    true_pairs = len({(int(a), int(b)) for a, b in zip(h, d)})
+    assert est["whdia"].bytes_per_product == true_pairs * 128 * 4
+
+
 def test_scipy_interop():
     import scipy.sparse as sp
 
