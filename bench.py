@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
 
     from spgpu_tpu.core import hbm_bandwidth
-    from spgpu_tpu.convert import coo_to_whell, local_degree_perm, symmetric_relabel
+    from spgpu_tpu.convert import coo_to_whell
     from spgpu_tpu.ops import whell_spmv
     from spgpu_tpu.ops.blas1 import dot
     from spgpu_tpu.utils.fixtures import random_fem_like
@@ -49,11 +49,13 @@ def main():
 
     coo = random_fem_like(n, avg_nnz_per_row=27.0, span=768, far_frac=0.01,
                           seed=0, dtype=np.float32)
-    # solve-ready setup: windowed OELL ordering applied symmetrically
-    coo = symmetric_relabel(coo, local_degree_perm(coo))
-    a = coo_to_whell(coo)
+    # packed-lane layout (r2): proportional lane segments kill the
+    # power-law raggedness (pad 5.9x -> 2.7x measured) and the product
+    # runs in lane space end-to-end (solver-ready, like the r1 relabel)
+    a = coo_to_whell(coo, packed=True)
     nnz = coo.nnz
-    x = jnp.asarray(np.random.default_rng(1).standard_normal(n), jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(a.n_cols), jnp.float32)
 
     scale = jnp.float32(1e-3)
 
@@ -84,8 +86,12 @@ def main():
 
     gflops = (2.0 * nnz - 1.0) / t * 1e-9
     # actual traffic: value slab + int8 residue/page-table slabs + x + z.
+    # NOTE vs round 1: the packed layout moves ~2.8x FEWER bytes for the
+    # same 2*nnz work, so the bytes-moved roofline fraction DROPS while
+    # GFLOPS (the cross-round comparable number, +71% over r1) rises —
+    # the kernel is VPU-op-bound, not bandwidth-bound (BASELINE.md).
     slab = int(a.values.size) * (4 + 1 + 1)
-    bytes_moved = slab + n * 4 * 2
+    bytes_moved = slab + a.n_cols * 4 * 2
     bw = hbm_bandwidth(dev)
     vs = (bytes_moved / t) / bw if bw else 0.0
 

@@ -91,8 +91,10 @@ def run_config(
     from spgpu_tpu.ops.blas1 import dot
 
     a = convert(coo)
+    # packed layouts run in lane space: size x by the converted matrix
     x = jnp.asarray(
-        np.random.default_rng(seed).standard_normal(coo.n_cols),
+        np.random.default_rng(seed).standard_normal(
+            getattr(a, "n_cols", coo.n_cols)),
         coo.values.dtype,
     )
     z = spmv(a, x)  # warm-up
@@ -132,8 +134,6 @@ def run_suite(size: str = "small", out=print):
         coo_to_ell,
         coo_to_whdia,
         coo_to_whell,
-        local_degree_perm,
-        symmetric_relabel,
     )
     from spgpu_tpu.ops import ell_spmv, whdia_spmv, whell_spmv
     from spgpu_tpu.utils.fixtures import (
@@ -164,14 +164,15 @@ def run_suite(size: str = "small", out=print):
         iters=5,
     ))
 
-    # -- WHELL on FEM-profile irregular (the HELL-class flagship) --------
-    fem0 = random_fem_like(
+    # -- WHELL on FEM-profile irregular (the HELL-class flagship; packed
+    # lane layout, round 2) ----------------------------------------------
+    fem = random_fem_like(
         (1 << 18) if big else 20000, 27.0,
         span=768, far_frac=0.01, seed=0, dtype=np.float32,
     )
-    fem = symmetric_relabel(fem0, local_degree_perm(fem0))
     emit(run_config(
-        "fem_irregular", "whell_pallas", fem, coo_to_whell,
+        "fem_irregular", "whell_packed_pallas", fem,
+        lambda c: coo_to_whell(c, packed=True),
         lambda a, x: whell_spmv(a, x),
         lambda a, coo: a.values.size * 6 + coo.n_rows * 8,
         iters=200 if big else 5,
@@ -185,7 +186,8 @@ def run_suite(size: str = "small", out=print):
     emit(run_config(
         "banded", "whdia_pallas", band, coo_to_whdia,
         lambda a, x: whdia_spmv(a, x),
-        lambda a, coo: a.values.size * 4 + coo.n_rows * 8,
+        # 4B value + 2B lane-replicated r0 per cell (formats/whdia.py)
+        lambda a, coo: a.values.size * 6 + coo.n_rows * 8,
         iters=200 if big else 5,
     ))
 
@@ -193,7 +195,8 @@ def run_suite(size: str = "small", out=print):
     from spgpu_tpu.ops import whell_spmm
 
     emit(run_config(
-        "fem_irregular", "whell_pallas_spmm8", fem, coo_to_whell,
+        "fem_irregular", "whell_pallas_spmm8", fem,
+        lambda c: coo_to_whell(c, packed=True),
         # distinct per-RHS scalings: identical broadcast RHS lets XLA
         # CSE the 8 products into one (measured as an impossible >1.0
         # roofline fraction)
@@ -210,7 +213,144 @@ def run_suite(size: str = "small", out=print):
                             dtype=np.float32)
     emit(_run_spmm8(fem_s, out=None))
 
+    # -- BLAS-1 roofline rows (dot / axpby / nrm2; reference measures dot
+    # in every harness, hellPerf.cpp:234) --------------------------------
+    for r in run_blas1_suite(n=(1 << 22) if big else (1 << 16),
+                             iters=200 if big else 5):
+        results.append(r)
+        out(json.dumps(r))
+
+    # -- conversion-time + vendor/CPU baselines --------------------------
+    for r in run_baseline_rows(fem, big):
+        results.append(r)
+        out(json.dumps(r))
+
     return results
+
+
+def run_blas1_suite(n: int, iters: int = 200):
+    """Device-resident BLAS-1 rows: one jitted chained loop per op, the
+    same scalar-fence protocol as the SpMV rows.  Traffic models: dot
+    reads 2 vectors; axpby reads 2 writes 1; nrm2 reads 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from spgpu_tpu.core import hbm_bandwidth
+    from spgpu_tpu.ops import blas1
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    bw = hbm_bandwidth()
+    rows = []
+
+    cases = {
+        "dot": (lambda u, v: u * blas1.dot(u, v) * 1e-9, 2 * n * 4),
+        "axpby": (lambda u, v: blas1.axpby(1.000001, u, 0.999999, v),
+                  3 * n * 4),
+        "nrm2": (lambda u, v: u * (blas1.nrm2(u) * 1e-9), n * 4),
+    }
+    for name, (op, bytes_per) in cases.items():
+        @jax.jit
+        def timed(u, v, op=op):
+            def body(_, c):
+                return op(c, v)
+
+            return jax.lax.fori_loop(0, iters, body, u).sum()
+
+        float(timed(x, y))
+        t = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(timed(x, y))
+            t = min(t, (time.perf_counter() - t0) / iters)
+        rows.append({
+            "config": "blas1", "op": name, "n": n,
+            "t_avg_s": round(t, 9),
+            "eff_bandwidth_gbs": round(bytes_per / t / 1e9, 3),
+            "roofline_frac": round((bytes_per / t) / bw, 4) if bw else None,
+        })
+    return rows
+
+
+def run_baseline_rows(fem, big: bool):
+    """Anchoring rows: packed-WHELL conversion time, scipy-CPU SpMV, and
+    a COMPLETING jax.experimental.sparse BCOO row at a small size (the
+    r1 attempt at full size timed out — recorded; cusparsePerf is the
+    reference's analogous vendor harness)."""
+    import jax
+    import jax.numpy as jnp
+
+    rows = []
+
+    from spgpu_tpu.convert import coo_to_whell
+
+    t0 = time.perf_counter()
+    a = coo_to_whell(fem, packed=True)
+    t_conv = time.perf_counter() - t0
+    rows.append({
+        "config": "conversion", "op": "coo_to_whell_packed",
+        "nnz": fem.nnz, "t_s": round(t_conv, 3),
+        "nnz_per_s": round(fem.nnz / t_conv, 0),
+    })
+
+    # scipy CPU SpMV (CSR) — the host-library anchor
+    try:
+        import scipy.sparse as sp
+
+        A = sp.coo_matrix((fem.values, (fem.rows, fem.cols)),
+                          shape=fem.shape).tocsr()
+        xh = np.random.default_rng(1).standard_normal(fem.n_cols).astype(
+            np.float32)
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            A @ xh
+        t = (time.perf_counter() - t0) / reps
+        rows.append({
+            "config": "vendor", "op": "scipy_csr_cpu", "nnz": fem.nnz,
+            "t_avg_s": round(t, 6),
+            "gflops": round(2 * fem.nnz / t / 1e9, 3),
+        })
+    except Exception as e:  # pragma: no cover
+        rows.append({"config": "vendor", "op": "scipy_csr_cpu",
+                     "error": str(e)[:80]})
+
+    # jax.experimental.sparse BCOO at a size that completes
+    try:
+        from jax.experimental import sparse as jsparse
+
+        from spgpu_tpu.utils.fixtures import random_fem_like
+
+        small = random_fem_like(20000, 27.0, span=768, far_frac=0.01,
+                                seed=0, dtype=np.float32)
+        idx = jnp.asarray(np.stack([small.rows, small.cols], axis=1))
+        Ab = jsparse.BCOO((jnp.asarray(small.values), idx),
+                          shape=small.shape)
+        xv = jnp.asarray(
+            np.random.default_rng(1).standard_normal(small.n_cols),
+            jnp.float32)
+
+        @jax.jit
+        def bcoo_mv(A, v):
+            def body(_, c):
+                return (A @ c) * jnp.float32(1e-3)
+
+            return jax.lax.fori_loop(0, 5, body, v).sum()
+
+        float(bcoo_mv(Ab, xv))
+        t0 = time.perf_counter()
+        float(bcoo_mv(Ab, xv))
+        t = (time.perf_counter() - t0) / 5
+        rows.append({
+            "config": "vendor", "op": "jax_sparse_bcoo", "nnz": small.nnz,
+            "t_avg_s": round(t, 6),
+            "gflops": round(2 * small.nnz / t / 1e9, 3),
+        })
+    except Exception as e:
+        rows.append({"config": "vendor", "op": "jax_sparse_bcoo",
+                     "error": str(e)[:80]})
+    return rows
 
 
 def _run_spmm8(coo, out=None):

@@ -20,7 +20,13 @@ __all__ = ["coo_to_whdia"]
 
 _HACK = 128
 _GROUP = 32  # hacks per output group
-_SPREAD = 768  # max diagonal spread inside one 8-slot tile
+
+
+def _spread(w: int) -> int:
+    """Max diagonal spread inside one tile for a ``w``-page window:
+    every cell's r0 + lane must stay inside w*128 x entries (128-lane
+    margin below the window top, 127 above r0_min = -127)."""
+    return (w - 2) * 128
 
 
 def _excl_cumsum(a: np.ndarray) -> np.ndarray:
@@ -29,27 +35,27 @@ def _excl_cumsum(a: np.ndarray) -> np.ndarray:
     return out
 
 
-def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
+def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
     vals_in = coo.values if dtype is None else coo.values.astype(dtype)
     val_dtype = vals_in.dtype
     num_hacks = max(-(-coo.n_rows // _HACK), 1)
     num_groups = -(-num_hacks // _GROUP)
     num_pages = max(-(-coo.n_cols // 128), 1)
-    x_pages = max(num_pages, 8)
     m = coo.nnz
 
     if m == 0:
         total = num_groups * _CT * 8
         import jax.numpy as jnp
 
+        w = window_pages or 8
         return WhdiaMatrix(
             values=jnp.zeros((total, _HACK), val_dtype),
-            slot_r0=jnp.full((total // 2,), 128 | (128 << 16), jnp.int32),
+            slot_r0=jnp.zeros((total, _HACK), jnp.int16),
             tile_base=jnp.zeros((total // 8,), jnp.int32),
-            tile_hh=jnp.zeros((total // 8,), jnp.int32),
             chunk_group=jnp.arange(num_groups, dtype=jnp.int32),
             n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
-            num_groups=num_groups, total_slots=total, nnz=0, x_pages=x_pages,
+            num_groups=num_groups, total_slots=total, nnz=0,
+            x_pages=max(num_pages, w), window_pages=w,
         )
 
     hack = (coo.rows // _HACK).astype(np.int64)
@@ -66,29 +72,54 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
     slot_hack = h_s[new_slot_flag]
     slot_diag = d_s[new_slot_flag]
 
-    # --- greedy tiling: 8 slots/tile, same hack, spread <= _SPREAD ------
-    # Sequential scan: native C++ when available, Python fallback.
+    # --- greedy tiling: 8 slots/tile, same hack, spread <= _spread(w) ---
+    # Sequential scan: native C++ when available, Python fallback.  With
+    # window_pages unset, try each window size and keep the one with the
+    # fewest group-padded tiles (the tiler is milliseconds; wide windows
+    # admit spread-y diagonal sets at +2 vector ops per extra 8 pages).
     from spgpu_tpu import native as _native
 
-    nat = _native.whdia_tile(slot_hack, slot_diag, _SPREAD)
-    if nat is not None:
-        tile_of_slot, pos_of_slot, tile_hack_a, tile_d0_a = nat
-    else:
+    def tile_with(w):
+        nat = _native.whdia_tile(slot_hack, slot_diag, _spread(w))
+        if nat is not None:
+            return nat
         tile_of_slot = np.empty(n_slots, dtype=np.int64)
         pos_of_slot = np.empty(n_slots, dtype=np.int64)
         tile_hack_l, tile_d0_l = [], []
         fill, cur_hack, d0 = 8, -2, 0
         for i in range(n_slots):
             h_i, d_i = slot_hack[i], slot_diag[i]
-            if fill == 8 or h_i != cur_hack or d_i - d0 > _SPREAD:
+            if fill == 8 or h_i != cur_hack or d_i - d0 > _spread(w):
                 tile_hack_l.append(h_i)
                 tile_d0_l.append(d_i)
                 cur_hack, d0, fill = h_i, d_i, 0
             tile_of_slot[i] = len(tile_hack_l) - 1
             pos_of_slot[i] = fill
             fill += 1
-        tile_hack_a = np.asarray(tile_hack_l, dtype=np.int64)
-        tile_d0_a = np.asarray(tile_d0_l, dtype=np.int64)
+        return (tile_of_slot, pos_of_slot,
+                np.asarray(tile_hack_l, dtype=np.int64),
+                np.asarray(tile_d0_l, dtype=np.int64))
+
+    def padded_tiles(tile_hack_a):
+        tg = tile_hack_a // _GROUP
+        raw = np.bincount(tg, minlength=num_groups)
+        return int(np.maximum(-(-raw // _CT) * _CT, _CT).sum())
+
+    if window_pages is None:
+        best = None
+        for w_try in (8, 16, 32):
+            cand = tile_with(w_try)
+            cost = padded_tiles(cand[2]) * (8 + (w_try // 8 - 1))
+            # cost model: tiles x (per-tile op estimate; each extra
+            # 8-page block costs ~1 extra op in 8-op units)
+            if best is None or cost < best[0]:
+                best = (cost, w_try, cand)
+        _, window_pages, nat = best
+    else:
+        nat = tile_with(window_pages)
+    w = window_pages
+    x_pages = max(num_pages, w)
+    tile_of_slot, pos_of_slot, tile_hack_a, tile_d0_a = nat
     n_raw_tiles = tile_hack_a.size
 
     # --- group hacks by 8; pad each group's tiles to whole chunks -------
@@ -104,7 +135,7 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
     tile_final = group_tile_base[tile_group] + rank_in_group
 
     # --- per-tile scalars ----------------------------------------------
-    base_cap = max(num_pages - 8, 0)
+    base_cap = max(x_pages - w, 0)
     start_min = tile_hack_a * _HACK + tile_d0_a
     tb_raw = np.clip(start_min >> 7, 0, base_cap)
     tile_base = np.zeros(num_tiles, dtype=np.int32)
@@ -120,13 +151,10 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
     # --- per-slot r0; scatter values ------------------------------------
     slot_final = tile_final[tile_of_slot] * 8 + pos_of_slot
     r0 = (slot_hack * _HACK + slot_diag - tb_raw[tile_of_slot] * 128)
-    slot_r0 = np.zeros(total_slots, dtype=np.int32)
-    slot_r0[slot_final] = r0.astype(np.int32)
-    # pack two biased 16-bit values per int32: halves the SMEM footprint
-    # of the scalar-prefetch operand (the 1 MB SMEM budget was the
-    # single-call size cap).  r0 ∈ [-127, 1151] ⊂ [-128, 65407].
-    b = slot_r0 + 128
-    slot_r0p = (b[0::2] | (b[1::2] << 16)).astype(np.int32)
+    slot_r0 = np.zeros(total_slots, dtype=np.int16)
+    slot_r0[slot_final] = r0.astype(np.int16)  # r0 ∈ [-127, 1151]
+    # lane-replicated vector operand (see formats/whdia.py slot_r0 doc)
+    slot_r0w = np.repeat(slot_r0[:, None], _HACK, axis=1)
     vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
     vals[slot_final[slot_of_entry], lane[order]] = vals_in[order]
 
@@ -134,11 +162,10 @@ def coo_to_whdia(coo: CooMatrix, dtype=None) -> WhdiaMatrix:
 
     return WhdiaMatrix(
         values=jnp.asarray(vals),
-        slot_r0=jnp.asarray(slot_r0p),
+        slot_r0=jnp.asarray(slot_r0w),
         tile_base=jnp.asarray(tile_meta),
-        tile_hh=jnp.zeros((0,), jnp.int32),  # packed into tile_base
         chunk_group=jnp.asarray(chunk_group),
         n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
         num_groups=num_groups, total_slots=total_slots, nnz=m,
-        x_pages=x_pages,
+        x_pages=x_pages, window_pages=w,
     )

@@ -25,6 +25,10 @@ __all__ = ["coo_to_whell", "degree_sort_perm", "local_degree_perm",
 
 _HACK = 128
 
+#: x budget for the kernel's persistent VMEM scratch; larger lane-space
+#: column counts split into window-aligned panels (PanelledWhell)
+_PANEL_X_BYTES = 11 * 2 ** 20
+
 
 def degree_sort_perm(coo: CooMatrix) -> np.ndarray:
     """Stored-row → original-row permutation sorting rows by descending
@@ -83,6 +87,10 @@ def coo_to_whell(
     dtype=None,
     return_plan: bool = False,
     ways: int = 1,
+    packed: bool = False,
+    window_pages: Optional[int] = None,
+    lane_capacity: Optional[float] = None,
+    panel_x_bytes: Optional[int] = None,
 ):
     """Build a :class:`WhellMatrix` from host COO triples.
 
@@ -106,7 +114,62 @@ def coo_to_whell(
     each row's entries over ``ways`` lanes smooths the max-vs-mean
     raggedness that drives padding on irregular matrices, at the cost of
     a ``ways``× larger output accumulator.
+
+    ``packed=True`` (square matrices) builds the packed-lane layout:
+    each row gets a lane SEGMENT sized ``ceil(degree / lane_capacity)``
+    — heavy rows span many lanes, light rows one — and consecutive rows
+    are binned into 128-lane hacks by weight.  This removes the
+    max-vs-mean raggedness that costs classic WHELL ~6x padding on
+    power-law degree profiles (measured ~2.1-2.5x packed).  Rows AND
+    columns are relabelled into "lane space" (order-preserving with
+    per-hack gaps; phantom coordinates are zero): ``a.embed`` /
+    ``a.extract`` map vectors in and out, and iterative solvers should
+    run entirely in lane space.  ``window_pages`` (8/16/32) widens the
+    per-tile x window via an in-kernel select tree: wider windows mean
+    fewer (hack, window) groups and less padding for a few extra vector
+    ops per tile.
     """
+    if packed:
+        if row_perm is not None or sort_rows or return_plan or ways != 1:
+            raise ValueError("packed=True is incompatible with "
+                             "row_perm/sort_rows/return_plan/ways")
+        vdt = np.dtype(coo.values.dtype if dtype is None else dtype)
+        if np.issubdtype(vdt, np.complexfloating):
+            # C/Z: two real-plane conversions sharing the deterministic
+            # layout (formats.whell.WhellComplex); Z planes are dd
+            from spgpu_tpu.formats.whell import WhellComplex
+
+            real_dt = np.float64 if vdt == np.complex128 else np.float32
+            re = CooMatrix(coo.rows, coo.cols,
+                           np.real(coo.values).astype(real_dt),
+                           coo.n_rows, coo.n_cols)
+            im = CooMatrix(coo.rows, coo.cols,
+                           np.imag(coo.values).astype(real_dt),
+                           coo.n_rows, coo.n_cols)
+            ar = coo_to_whell(re, packed=True, window_pages=window_pages,
+                              lane_capacity=lane_capacity,
+                              panel_x_bytes=panel_x_bytes)
+            ai = coo_to_whell(im, packed=True, window_pages=window_pages,
+                              lane_capacity=lane_capacity,
+                              panel_x_bytes=panel_x_bytes)
+            return WhellComplex(ar=ar, ai=ai, n_rows=ar.n_rows,
+                                n_cols=ar.n_cols, orig_rows=coo.n_rows,
+                                nnz=coo.nnz)
+        # measured geometry sweet spot on the 262k-row FEM profile
+        # (chip sweep, BASELINE.md): 32-page windows, 32-hack groups,
+        # 64-tile chunks -> pad 3.0x (vs 5.9x classic), 29.1 GFLOPS
+        # (vs 17.0 classic).  dd kernels unroll ~4x more ops per tile,
+        # so their chunks stay at 16 tiles to keep the Mosaic compile
+        # tractable (DESIGN.md compile-time notes).
+        is_dd_vals = np.dtype(
+            coo.values.dtype if dtype is None else dtype) == np.float64
+        return _coo_to_whell_packed(coo, window_pages or 32, lane_capacity,
+                                    dtype, group_hacks=32,
+                                    chunk_tiles=16 if is_dd_vals else 64,
+                                    panel_x_bytes=panel_x_bytes)
+    window_pages = window_pages or 8
+    if window_pages != 8:
+        raise ValueError("window_pages > 8 requires packed=True")
     if ways > 1:
         if row_perm is not None or sort_rows or return_plan:
             raise ValueError("ways>1 is incompatible with row_perm/plan")
@@ -269,7 +332,6 @@ def coo_to_whell(
         residue=jnp.asarray(res8),
         page_tab=jnp.asarray(pt8),
         tile_base=jnp.asarray(tile_meta),
-        tile_hh=jnp.zeros((0,), jnp.int32),  # packed into tile_base
         chunk_group=jnp.asarray(chunk_group),
         row_perm=perm_arr,
         n_rows=coo.n_rows,
@@ -286,6 +348,281 @@ def coo_to_whell(
         inv_order[order] = np.arange(m)
         return out, (slot[inv_order], lane[np.arange(coo.nnz)])
     return out
+
+
+def _coo_to_whell_packed(
+    coo: CooMatrix,
+    window_pages: int,
+    lane_capacity: Optional[float],
+    dtype,
+    group_hacks: int = 16,
+    chunk_tiles: int = 32,
+    panel_x_bytes: Optional[int] = None,
+) -> WhellMatrix:
+    """Packed-lane WHELL builder (see :func:`coo_to_whell` docstring).
+
+    Layout summary: row ``r`` owns lanes ``[lane_start_r, lane_start_r +
+    d_r)`` of its hack; entry ``t`` (col-sorted rank within (row,
+    window)) lands at lane ``lane_start_r + t % d_r``, slot ``t // d_r``
+    (first-fit bumped on residue/page conflicts).  The kernel reduces
+    lane segments at group-flush time with a prefix scan + compaction
+    gather driven by the ``seg_lo``/``seg_hi`` slabs.
+    """
+    if coo.n_rows != coo.n_cols:
+        raise ValueError("packed WHELL requires a square matrix (rows and "
+                         "columns share the lane-space labels)")
+    if window_pages not in (8, 16, 32):
+        raise ValueError("window_pages must be 8, 16 or 32")
+    w = window_pages
+    n, m = coo.n_rows, coo.nnz
+    vals_in = coo.values if dtype is None else coo.values.astype(dtype)
+    # fp64 values -> double-float slabs (hi/lo fp32 pairs, ops/dd.py);
+    # the slab is built in float64 and split after the scatter
+    is_dd = np.dtype(vals_in.dtype) == np.float64
+    val_dtype = np.dtype(np.float64) if is_dd else vals_in.dtype
+
+    deg = coo.row_lengths().astype(np.int64)
+    if lane_capacity is None:
+        # measured sweet spot on power-law FEM profiles: ~1.25x the mean
+        # degree balances segment padding against hack-count growth
+        lane_capacity = max(8.0, 1.25 * m / max(n, 1))
+    d = np.clip(np.ceil(deg / lane_capacity).astype(np.int64), 1, 128)
+
+    from spgpu_tpu import native as _native
+
+    nat = _native.whell_hack_fill(d) if n else None
+    if nat is None:
+        hack_of_row = np.zeros(max(n, 1), np.int64)
+        lane_start = np.zeros(max(n, 1), np.int64)
+        h = 0
+        acc = 0
+        for r in range(n):
+            if acc + d[r] > 128:
+                h += 1
+                acc = 0
+            hack_of_row[r] = h
+            lane_start[r] = acc
+            acc += d[r]
+        num_hacks = h + 1 if n else 1
+    else:
+        num_hacks, hack_of_row, lane_start = nat
+    num_hacks = max(num_hacks, 1)
+    _, first_idx = np.unique(hack_of_row[:n], return_index=True)
+    out_pos = np.arange(n, dtype=np.int64) - first_idx[hack_of_row[:n]]
+    lane_of_row = (hack_of_row[:n] * _HACK + out_pos).astype(np.int32)
+
+    gh, ct = group_hacks, chunk_tiles
+    n_lane = num_hacks * _HACK
+    x_pages = max(-(-num_hacks // w) * w, w)
+    num_groups = -(-num_hacks // gh)
+
+    import jax.numpy as jnp
+
+    seg_lo = np.full((num_groups * gh, _HACK), -1, dtype=np.int8)
+    seg_hi = np.full((num_groups * gh, _HACK), -1, dtype=np.int8)
+    seg_lo[hack_of_row[:n], out_pos] = (lane_start[:n] - 1).astype(np.int8)
+    seg_hi[hack_of_row[:n], out_pos] = (lane_start[:n] + d[:n] - 1).astype(np.int8)
+
+    if m == 0:
+        total = num_groups * ct * 8
+        return WhellMatrix(
+            values=jnp.zeros((total, _HACK), jnp.float32 if is_dd else val_dtype),
+            values_lo=(jnp.zeros((total, _HACK), jnp.float32) if is_dd else None),
+            residue=jnp.zeros((total, _HACK), jnp.int8),
+            page_tab=jnp.zeros((total, 128), jnp.int8),
+            tile_base=jnp.zeros((num_groups * ct,), jnp.int32),
+            chunk_group=jnp.asarray(
+                np.r_[np.arange(num_groups, dtype=np.int32), -1]),
+            row_perm=None,
+            n_rows=n_lane, n_cols=n_lane, num_hacks=num_hacks,
+            num_groups=num_groups, total_slots=total, nnz=0,
+            x_pages=x_pages,
+            seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
+            lane_of_row=jnp.asarray(lane_of_row),
+            window_pages=w, orig_rows=n,
+            group_hacks=gh, chunk_tiles=ct,
+        )
+
+    cols_l = lane_of_row[coo.cols].astype(np.int64)
+    page = cols_l // 128
+    resid = cols_l % 128
+    win = page // w
+    delta = page % w
+    nwin = x_pages // w
+    hack = hack_of_row[coo.rows]
+
+    G = hack * nwin + win
+    order = np.lexsort((cols_l, coo.rows, G))
+    Gs = G[order]
+    rows_s = coo.rows[order]
+    res_s = resid[order]
+    del_s = delta[order]
+
+    # rank within (G, row) in column order
+    rg_change = np.r_[True, (Gs[1:] != Gs[:-1]) | (rows_s[1:] != rows_s[:-1])]
+    rg_starts = np.flatnonzero(rg_change)
+    t_rank = np.arange(m, dtype=np.int64) - np.repeat(
+        rg_starts, np.diff(np.r_[rg_starts, m]))
+    dr = d[rows_s]
+
+    nat_seg = _native.whell_assign_seg(
+        Gs, rows_s, lane_start[rows_s], dr, res_s, del_s)
+    if nat_seg is not None:
+        k, vlane = nat_seg
+    else:
+        vlane = lane_start[rows_s] + t_rank % dr
+        k = None
+    if k is None:
+        # NumPy fallback: start from the round-robin slot, bump whole-row
+        # conflicts to fresh slots (same eviction scheme as the classic
+        # layout; lanes of different rows are disjoint so only residue/
+        # page conflicts arise)
+        k = t_rank // dr
+        rg_of = np.cumsum(rg_change) - 1
+        rg_top = np.zeros(rg_of[-1] + 1, dtype=np.int64)
+        np.maximum.at(rg_top, rg_of, k + 1)
+        for _round in range(64):
+            key = (Gs * (k.max() + 1) + k) * 128 + res_s
+            o = np.argsort(key, kind="stable")
+            ks = key[o]
+            grp = np.r_[True, ks[1:] != ks[:-1]]
+            rep = np.repeat(del_s[o][grp],
+                            np.diff(np.r_[np.flatnonzero(grp), ks.size]))
+            conflict = np.zeros(m, dtype=bool)
+            conflict[o] = del_s[o] != rep
+            if not conflict.any():
+                break
+            ev = np.flatnonzero(conflict)
+            ev = ev[np.argsort(rg_of[ev], kind="stable")]
+            rg_ev = rg_of[ev]
+            st = np.flatnonzero(np.r_[True, rg_ev[1:] != rg_ev[:-1]])
+            within = np.arange(ev.size) - np.repeat(
+                st, np.diff(np.r_[st, ev.size]))
+            k[ev] = rg_top[rg_ev] + within
+            np.maximum.at(rg_top, rg_ev, k[ev] + 1)
+        else:
+            key = (Gs * (k.max() + 1) + k) * 128 + res_s
+            o = np.argsort(key, kind="stable")
+            ks = key[o]
+            grp = np.r_[True, ks[1:] != ks[:-1]]
+            rep = np.repeat(del_s[o][grp],
+                            np.diff(np.r_[np.flatnonzero(grp), ks.size]))
+            conflict = np.zeros(m, dtype=bool)
+            conflict[o] = del_s[o] != rep
+            ev = np.flatnonzero(conflict)
+            k[ev] = k.max() + 1 + np.arange(ev.size)
+
+    vals_sorted = vals_in[order]
+    seg_lo_j = jnp.asarray(seg_lo)
+    seg_hi_j = jnp.asarray(seg_hi)
+    lane_of_row_j = jnp.asarray(lane_of_row)
+
+    def build_panel(sel, win_off, pages_p, cols_p):
+        """Build one column panel's WhellMatrix from the sorted-entry
+        subset ``sel`` (its windows shifted by ``win_off``).  Shares the
+        lane space / seg slabs with every other panel; per-panel products
+        sum (the segment flush is linear in the accumulated values)."""
+        Gs_p = Gs[sel]
+        k_p = k[sel]
+        vlane_p = vlane[sel]
+        res_p = res_s[sel]
+        del_p = del_s[sel]
+        m_p = int(Gs_p.size)
+
+        g_first = np.r_[True, Gs_p[1:] != Gs_p[:-1]]
+        g_id = np.cumsum(g_first) - 1
+        W = np.zeros(g_id[-1] + 1 if m_p else 1, dtype=np.int64)
+        np.maximum.at(W, g_id, k_p + 1)
+        W8 = -(-W // 8) * 8
+        g_G = Gs_p[g_first] if m_p else np.zeros(1, np.int64)
+        g_hack = g_G // nwin
+        g_win = g_G % nwin - win_off
+
+        raw_tiles_per_grp = W8 // 8
+        hack8 = g_hack // gh
+        tiles_per_g8 = np.zeros(num_groups, dtype=np.int64)
+        np.add.at(tiles_per_g8, hack8, raw_tiles_per_grp)
+        pad_tiles_per_g8 = np.maximum(-(-tiles_per_g8 // ct) * ct, ct)
+        g8_base = _excl_cumsum(pad_tiles_per_g8)
+        num_tiles = int(pad_tiles_per_g8.sum())
+        total_slots = num_tiles * 8
+        within_t = (_excl_cumsum(raw_tiles_per_grp)
+                    - _excl_cumsum(tiles_per_g8)[hack8])
+        g_tile0 = g8_base[hack8] + within_t
+
+        slot = g_tile0[g_id] * 8 + k_p
+        vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
+        res8 = np.zeros((total_slots, _HACK), dtype=np.int8)
+        pt8 = np.zeros((total_slots, 128), dtype=np.int8)
+        vals[slot, vlane_p] = vals_sorted[sel]
+        res8[slot, vlane_p] = res_p.astype(np.int8)
+        pt8[slot, res_p] = del_p.astype(np.int8)
+        vals_lo = None
+        if is_dd:
+            from spgpu_tpu.ops.dd import split as _dd_split
+
+            pair = _dd_split(vals)
+            vals, vals_lo = pair[0], pair[1]
+
+        tile_base = np.zeros(num_tiles, dtype=np.int32)
+        tile_hh = np.zeros(num_tiles, dtype=np.int32)
+        g_tiles_idx = np.repeat(g_tile0, raw_tiles_per_grp) + (
+            np.arange(int(raw_tiles_per_grp.sum()))
+            - np.repeat(_excl_cumsum(raw_tiles_per_grp), raw_tiles_per_grp))
+        tile_base[g_tiles_idx] = np.repeat(
+            (g_win * w).astype(np.int32), raw_tiles_per_grp)
+        tile_hh[g_tiles_idx] = np.repeat(
+            (g_hack % gh).astype(np.int32), raw_tiles_per_grp)
+        tile_meta = (tile_base | (tile_hh << 16)).astype(np.int32)
+        # trailing -1 sentinel: the kernel flushes a group when
+        # chunk_group[c+1] differs (last chunk included via the sentinel)
+        chunk_group = np.r_[
+            np.repeat(np.arange(num_groups, dtype=np.int32),
+                      pad_tiles_per_g8 // ct),
+            np.int32(-1),
+        ]
+
+        return WhellMatrix(
+            values=jnp.asarray(vals),
+            values_lo=None if vals_lo is None else jnp.asarray(vals_lo),
+            residue=jnp.asarray(res8),
+            page_tab=jnp.asarray(pt8),
+            tile_base=jnp.asarray(tile_meta),
+            chunk_group=jnp.asarray(chunk_group),
+            row_perm=None,
+            n_rows=n_lane, n_cols=cols_p, num_hacks=num_hacks,
+            num_groups=num_groups, total_slots=total_slots,
+            nnz=m_p,
+            x_pages=pages_p,
+            seg_lo=seg_lo_j, seg_hi=seg_hi_j,
+            lane_of_row=lane_of_row_j,
+            window_pages=w, orig_rows=n,
+            group_hacks=gh, chunk_tiles=ct,
+        )
+
+    # --- column panels: x must fit the persistent VMEM scratch ----------
+    x_entry_bytes = 8 if is_dd else 4  # dd stages both planes
+    budget = panel_x_bytes or _PANEL_X_BYTES
+    budget_pages = max((budget // (128 * x_entry_bytes)) // w, 1) * w
+    if x_pages <= budget_pages:
+        full = np.ones(m, dtype=bool)
+        return build_panel(full, 0, x_pages, n_lane)
+
+    wins_per_panel = budget_pages // w
+    win_s = Gs % nwin
+    n_panels = -(-nwin // wins_per_panel)
+    panels = []
+    for p in range(n_panels):
+        w0 = p * wins_per_panel
+        w1 = min((p + 1) * wins_per_panel, nwin)
+        sel = (win_s >= w0) & (win_s < w1)
+        pages_p = (w1 - w0) * w
+        cols_p = min(pages_p * 128, n_lane - w0 * w * 128)
+        panels.append(build_panel(sel, w0, pages_p, cols_p))
+    from spgpu_tpu.formats.whell import PanelledWhell
+
+    return PanelledWhell(panels=tuple(panels), panel_pages=budget_pages,
+                         n_rows=n_lane, n_cols=n_lane, orig_rows=n, nnz=m)
 
 
 def whell_update_values(a: WhellMatrix, plan, new_values) -> WhellMatrix:
@@ -328,7 +665,6 @@ def _empty_whell(coo, num_hacks, nsp, val_dtype, row_perm):
         residue=jnp.zeros((total, _HACK), jnp.int8),
         page_tab=jnp.zeros((total, 128), jnp.int8),
         tile_base=jnp.zeros((num_groups * _CT,), jnp.int32),
-        tile_hh=jnp.zeros((num_groups * _CT,), jnp.int32),
         chunk_group=jnp.arange(num_groups, dtype=jnp.int32),
         row_perm=perm_arr,
         n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,

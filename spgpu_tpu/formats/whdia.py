@@ -47,11 +47,14 @@ from spgpu_tpu.core import WHDIA_CHUNK_TILES as _CT
 @dataclasses.dataclass
 class WhdiaMatrix:
     values: jax.Array  # (total_slots, 128) slot-major cells
-    slot_r0: jax.Array  # (total_slots // 2,) int32: two packed biased
-    #   16-bit values (r0 + 128) per word; r0 = h*128 + d - 128*tile_base
+    slot_r0: jax.Array  # (total_slots, 128) int16, lane-replicated:
+    #   r0 = h*128 + d - 128*tile_base per slot.  Streamed as a vector
+    #   operand (2 B/cell) rather than SMEM scalars: the scalar unpack
+    #   (8 loads + vector inserts per tile) was the latency chain that
+    #   held WHDIA at ~29 cycles/tile, and per-slot SMEM words capped
+    #   the matrix size at the 1 MB SMEM budget.
     tile_base: jax.Array  # (num_tiles,) int32: first x page of the tile
     #   (low 16 bits) | hack index within the 32-hack group (high bits)
-    tile_hh: jax.Array  # retired (packed into tile_base); kept empty
     chunk_group: jax.Array  # (num_tiles // 8,) int32: 8-hack group of chunk
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
@@ -60,6 +63,12 @@ class WhdiaMatrix:
     total_slots: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     x_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
+    #: pages per tile window (8/16/32).  Wider windows admit a larger
+    #: diagonal spread per tile — a 2-D Laplacian's ±n offsets split
+    #: every hack into 3 tiles at w=8 (measured pad 4.8x) but fit one
+    #: tile at w=32 — for a few extra select ops per tile (the same
+    #: select-tree trick as packed WHELL).
+    window_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
 
     hack_size = 128
     group_hacks = 32
@@ -84,16 +93,13 @@ class WhdiaMatrix:
     def storage_bytes(self) -> int:
         return int(
             self.values.size * self.values.dtype.itemsize
-            + self.slot_r0.size * 4 + self.tile_base.size * 4  # r0 packed 2/word
-            + self.tile_hh.size * 4 + self.chunk_group.size * 4
+            + self.slot_r0.size * 2 + self.tile_base.size * 4
+            + self.chunk_group.size * 4
         )
 
     def to_dense(self) -> np.ndarray:
         vals = np.asarray(self.values)
-        packed = np.asarray(self.slot_r0).astype(np.int64)
-        r0 = np.empty(packed.size * 2, dtype=np.int64)
-        r0[0::2] = (packed & 0xFFFF) - 128
-        r0[1::2] = ((packed >> 16) & 0xFFFF) - 128
+        r0 = np.asarray(self.slot_r0)[:, 0].astype(np.int64)
         meta = np.asarray(self.tile_base).astype(np.int64)
         tb = meta & 0xFFFF
         hh = meta >> 16

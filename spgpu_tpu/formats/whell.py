@@ -61,9 +61,9 @@ class WhellMatrix:
     #   the 1 MB SMEM budget near 1M rows).  The HELL hackOffsets role
     #   (hell.h:37-43) is played by tile ordering: a group's tiles are
     #   contiguous.
-    tile_hh: jax.Array  # retired (packed into tile_base); kept empty for
-    #   pytree-shape compatibility
     chunk_group: jax.Array  # (num_chunks,) int32: 8-hack group of chunk
+    #   (packed layout: length num_chunks+1 with a trailing -1 sentinel so
+    #   the kernel can detect the last chunk of a group)
     # row permutation (stored-row -> original-row) or None
     row_perm: Optional[jax.Array]
     # static metadata
@@ -79,8 +79,54 @@ class WhellMatrix:
     #: the SpMV epilogue sums each way group back to one true row.
     ways: int = dataclasses.field(default=1, metadata=dict(static=True))
 
+    # --- packed-lane layout (the r2 anti-raggedness design) --------------
+    # Rows get lane SEGMENTS proportional to their degree (heavy rows span
+    # many lanes, light rows one); the kernel reduces segments with an
+    # in-flush prefix scan + compaction gather.  Output lives in "lane
+    # space": each hack's rows compacted to its first lanes, phantom
+    # coordinates zero.  ``seg_lo is None`` for the classic layout.
+    seg_lo: Optional[jax.Array] = None  # (num_groups*8, 128) int8: seg start-1
+    seg_hi: Optional[jax.Array] = None  # (num_groups*8, 128) int8: seg end-1;
+    #   -1 marks an unused output lane (phantom row)
+    lane_of_row: Optional[jax.Array] = None  # (orig_rows,) int32: lane-space
+    #   coordinate of each original row (order-preserving, with gaps)
+    #: low fp32 words of a double-float (fp64-on-TPU) value slab; the
+    #: dd kernel path (ops/dd.py transforms) is active when set.  The
+    #: reference ships D-precision natively (hell_dspmv.cu:28-33); TPU
+    #: v5e has no fp64 ALU so D is two fp32 slabs.
+    values_lo: Optional[jax.Array] = None
+    #: pages per tile window (8 classic; 16/32 via in-kernel window select)
+    window_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
+    #: original square dimension before lane-space embedding (packed only)
+    orig_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
+    #: hacks per output z block (classic 8; packed uses larger groups so
+    #: per-group chunk rounding wastes fewer tiles)
+    group_hacks: int = dataclasses.field(default=8, metadata=dict(static=True))
+    #: grid-chunk size in tiles (kernel unroll factor; per-group tile
+    #: counts round up to this)
+    chunk_tiles: int = dataclasses.field(default=64, metadata=dict(static=True))
+
     hack_size = 128  # lane width; fixed by the layout
-    group_hacks = 8  # hacks per output z block
+
+    @property
+    def packed(self) -> bool:
+        return self.seg_lo is not None
+
+    @property
+    def is_dd(self) -> bool:
+        """True when values are double-float pairs (fp64 emulation)."""
+        return self.values_lo is not None
+
+    def embed(self, x):
+        """Original-space vector → lane-space (phantom coords zero)."""
+        import jax.numpy as jnp
+
+        out = jnp.zeros(x.shape[:-1] + (self.n_rows,), x.dtype)
+        return out.at[..., self.lane_of_row].set(x)
+
+    def extract(self, z):
+        """Lane-space vector → original-space."""
+        return z[..., self.lane_of_row]
 
     @property
     def shape(self):
@@ -102,22 +148,44 @@ class WhellMatrix:
     def storage_bytes(self) -> int:
         n = self.values.size * self.values.dtype.itemsize
         n += self.residue.size + self.page_tab.size  # int8 each
-        n += (self.tile_base.size + self.tile_hh.size
-              + self.chunk_group.size) * 4
+        n += (self.tile_base.size + self.chunk_group.size) * 4
         if self.row_perm is not None:
             n += self.row_perm.size * 4
+        if self.seg_lo is not None:
+            n += self.seg_lo.size + self.seg_hi.size  # int8 each
+            n += self.lane_of_row.size * 4
+        if self.values_lo is not None:
+            n += self.values_lo.size * self.values_lo.dtype.itemsize
         return int(n)
 
     def to_dense(self) -> np.ndarray:
-        """Host densification (testing helper; duplicates add)."""
+        """Host densification (testing helper; duplicates add).
+
+        Packed layouts densify in LANE SPACE (``n_rows == n_cols`` the
+        padded lane dimension); compare against
+        ``dense[embed_rows][:, embed_cols]`` of the original."""
         vals = np.asarray(self.values)
+        if self.values_lo is not None:
+            vals = vals.astype(np.float64) + np.asarray(self.values_lo)
         res = np.asarray(self.residue).astype(np.int64)
         pt = np.asarray(self.page_tab).astype(np.int64)
         meta = np.asarray(self.tile_base).astype(np.int64)
         tb = meta & 0xFFFF
         hh = meta >> 16
         cg = np.asarray(self.chunk_group)
-        from spgpu_tpu.core import CHUNK_TILES as _CT
+        _CT = self.chunk_tiles
+
+        row_of_lane = None
+        if self.packed:
+            # lane -> output row (lane-space coordinate) from the segments
+            lo = np.asarray(self.seg_lo).astype(np.int64)
+            hi = np.asarray(self.seg_hi).astype(np.int64)
+            row_of_lane = np.full((lo.shape[0], 128), -1, dtype=np.int64)
+            for hk in range(lo.shape[0]):
+                for j in range(128):
+                    if hi[hk, j] >= 0:
+                        row_of_lane[hk, lo[hk, j] + 1: hi[hk, j] + 1] = (
+                            hk * 128 + j)
 
         out = np.zeros((self.n_rows, self.n_cols), dtype=vals.dtype)
         lane = np.arange(128)
@@ -130,6 +198,11 @@ class WhellMatrix:
             r = res[s]
             col = (tb[t] + pt[s, r]) * 128 + r
             hack = cg[t // _CT] * self.group_hacks + hh[t]
+            if row_of_lane is not None:
+                row = row_of_lane[hack]
+                ok = nzm & (row >= 0) & (row < self.n_rows) & (col < self.n_cols)
+                np.add.at(out, (row[ok], col[ok]), v[ok])
+                continue
             row = hack * 128 + lane
             ok = nzm & (row < self.rows_padded) & (col < self.n_cols)
             np.add.at(out, (self._orig_row(row[ok]), col[ok]), v[ok])
@@ -139,3 +212,136 @@ class WhellMatrix:
         if self.row_perm is None:
             return stored_rows
         return np.asarray(self.row_perm)[stored_rows]
+
+
+@dataclasses.dataclass
+class PanelledWhell:
+    """Column-panelled packed WHELL for matrices whose x exceeds the
+    kernel's VMEM-resident budget (the reference's analogue is the ELL
+    chunk loop, ``ell_spmv_base.cuh:118-136`` — no size cliff).
+
+    Window-aligned column panels share one lane space and one set of
+    segment slabs; ``A @ x = Σ_p A_p @ x[panel_p]`` (the segment-scan
+    flush is linear, so per-panel flushed outputs add exactly).  Built
+    automatically by ``coo_to_whell(packed=True)`` when needed.
+    """
+
+    panels: tuple  # of WhellMatrix, consecutive column slices
+    panel_pages: int  # x pages per panel (last may be narrower)
+    n_rows: int
+    n_cols: int
+    orig_rows: int
+    nnz: int
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.panels[0].dtype
+
+    @property
+    def is_dd(self) -> bool:
+        return self.panels[0].is_dd
+
+    @property
+    def packed(self) -> bool:
+        return True
+
+    @property
+    def lane_of_row(self):
+        return self.panels[0].lane_of_row
+
+    @property
+    def values(self):  # aggregate view for pad/bench accounting
+        import types
+
+        return types.SimpleNamespace(
+            size=sum(int(p.values.size) for p in self.panels))
+
+    @property
+    def storage_bytes(self) -> int:
+        return sum(p.storage_bytes for p in self.panels)
+
+    def embed(self, x):
+        return self.panels[0].embed(x)
+
+    def extract(self, z):
+        return self.panels[0].extract(z)
+
+    def to_dense(self) -> np.ndarray:
+        return np.concatenate([p.to_dense() for p in self.panels], axis=1)
+
+
+@dataclasses.dataclass
+class WhellComplex:
+    """Complex packed WHELL as two real-plane matrices (C/Z coverage of
+    the fast path; the reference instantiates C/Z kernel variants,
+    ``hell_cspmv.cu``/``zdot.cu:47-97``).
+
+    ``A = Ar + i·Ai``; SpMV runs 4 real plane products sharing the
+    layout machinery: ``Re(Ax) = Ar xr − Ai xi``, ``Im(Ax) = Ar xi +
+    Ai xr``.  complex64 planes are fp32; complex128 planes are
+    double-float pairs (Z == dd × complex).
+    """
+
+    ar: object  # WhellMatrix | PanelledWhell — real parts
+    ai: object  # imaginary parts (same layout by construction)
+    n_rows: int
+    n_cols: int
+    orig_rows: int
+    nnz: int
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def is_dd(self) -> bool:
+        return self.ar.is_dd
+
+    @property
+    def packed(self) -> bool:
+        return True
+
+    @property
+    def lane_of_row(self):
+        return self.ar.lane_of_row
+
+    @property
+    def dtype(self):
+        return np.dtype(np.complex128 if self.is_dd else np.complex64)
+
+    @property
+    def storage_bytes(self) -> int:
+        return self.ar.storage_bytes + self.ai.storage_bytes
+
+    def embed_complex(self, x: np.ndarray):
+        """Original complex vector -> lane-space plane stack:
+        ``(2, n_lane)`` complex planes as fp32 for C, or ``(2, 2,
+        n_lane)`` (re/im × hi/lo) fp32 for Z."""
+        lor = np.asarray(self.lane_of_row)
+        if self.is_dd:
+            from spgpu_tpu.ops.dd import split as _split
+
+            out = np.zeros((2, 2, self.n_rows), np.float32)
+            out[0, :, lor.astype(np.int64)] = _split(np.real(x)).T
+            out[1, :, lor.astype(np.int64)] = _split(np.imag(x)).T
+            return out
+        out = np.zeros((2, self.n_rows), np.float32)
+        out[0, lor] = np.real(x).astype(np.float32)
+        out[1, lor] = np.imag(x).astype(np.float32)
+        return out
+
+    def extract_complex(self, z) -> np.ndarray:
+        lor = np.asarray(self.lane_of_row)
+        z = np.asarray(z)
+        if self.is_dd:
+            from spgpu_tpu.ops.dd import join as _join
+
+            return (_join(z[0])[lor] + 1j * _join(z[1])[lor])
+        return (z[0][lor] + 1j * z[1][lor]).astype(np.complex64)
+
+    def to_dense(self) -> np.ndarray:
+        return self.ar.to_dense() + 1j * self.ai.to_dense()

@@ -18,7 +18,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "whell_assign", "whell_chunk_tiles", "whdia_tile"]
+__all__ = ["available", "whell_assign", "whell_chunk_tiles", "whdia_tile",
+           "whell_hack_fill"]
 
 _lock = threading.Lock()
 _lib = None
@@ -55,6 +56,12 @@ def _load():
             lib.whdia_tile.restype = ctypes.c_int64
             lib.whdia_tile.argtypes = [i64p, i64p, ctypes.c_int64,
                                        ctypes.c_int64, i64p, i64p, i64p, i64p]
+            lib.whell_hack_fill.restype = ctypes.c_int64
+            lib.whell_hack_fill.argtypes = [i64p, ctypes.c_int64,
+                                            ctypes.c_int64, i64p, i64p]
+            lib.whell_assign_seg.restype = None
+            lib.whell_assign_seg.argtypes = [i64p, i64p, i64p, i64p, i64p,
+                                             i64p, ctypes.c_int64, i64p, i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -102,6 +109,35 @@ def whdia_tile(slot_hack: np.ndarray, slot_diag: np.ndarray, spread: int):
     nt = lib.whdia_tile(_p(sh), _p(sd), n, spread, _p(tos), _p(pos),
                         _p(th), _p(td))
     return tos, pos, th[:nt], td[:nt]
+
+
+def whell_hack_fill(d: np.ndarray, cap: int = 128):
+    """Native greedy weighted row→hack binning; returns
+    (num_hacks, hack_of_row, lane_start) or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = d.size
+    d = np.ascontiguousarray(d, dtype=np.int64)
+    hof = np.empty(n, dtype=np.int64)
+    ls = np.empty(n, dtype=np.int64)
+    nh = lib.whell_hack_fill(_p(d), n, cap, _p(hof), _p(ls))
+    return int(nh), hof, ls
+
+
+def whell_assign_seg(G, row, seg0, segw, res, dlt):
+    """Capacity-aware first-fit for packed-lane WHELL; returns
+    (slot, lane) per entry or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = G.size
+    args = [np.ascontiguousarray(a, dtype=np.int64)
+            for a in (G, row, seg0, segw, res, dlt)]
+    slot = np.empty(m, dtype=np.int64)
+    lane = np.empty(m, dtype=np.int64)
+    lib.whell_assign_seg(*[_p(a) for a in args], m, _p(slot), _p(lane))
+    return slot, lane
 
 
 def whell_assign(G: np.ndarray, lane: np.ndarray, res: np.ndarray,

@@ -104,11 +104,54 @@ def bcoo_spmv(a: BcooMatrix, x, alpha=1.0, beta=0.0, y=None):
 def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
     """SpMV on the WHELL compute layout (the Pallas TPU fast path for
     HELL-class matrices; see :mod:`spgpu_tpu.formats.whell`).  Runs the
-    compiled kernel on TPU and interpret mode elsewhere."""
-    from spgpu_tpu.ops.pallas_kernels import whell_spmv_pallas
+    compiled kernel on TPU and interpret mode elsewhere.
+
+    Double-float matrices (``coo_to_whell(packed=True)`` on float64
+    values) take/return ``(2, n)`` fp32 hi/lo stacks (``ops.dd``)."""
+    from spgpu_tpu.ops.pallas_kernels import (
+        whell_spmv_dd_pallas,
+        whell_spmv_pallas,
+    )
 
     if interpret is None:
         interpret = not _on_tpu()
+    from spgpu_tpu.formats.whell import WhellComplex
+
+    if isinstance(a, WhellComplex):
+        import jax.numpy as jnp
+
+        if not (isinstance(alpha, (int, float)) and alpha == 1
+                and isinstance(beta, (int, float)) and beta == 0):
+            raise NotImplementedError("alpha/beta on the complex fast path: "
+                                      "combine on the caller side")
+        sub = lambda m, v: whell_spmv(m, v, interpret=interpret)
+        xr, xi = x[0], x[1]
+        if a.is_dd:
+            from spgpu_tpu.ops import dd as _dd
+
+            arr, ari = sub(a.ar, xr), sub(a.ar, xi)
+            air, aii = sub(a.ai, xr), sub(a.ai, xi)
+            zr = jnp.stack(_dd.dd_add_dd(arr[0], arr[1], -aii[0], -aii[1]))
+            zi = jnp.stack(_dd.dd_add_dd(ari[0], ari[1], air[0], air[1]))
+            return jnp.stack([zr, zi])
+        zr = sub(a.ar, xr) - sub(a.ai, xi)
+        zi = sub(a.ar, xi) + sub(a.ai, xr)
+        return jnp.stack([zr, zi])
+    if getattr(a, "is_dd", False):
+        import jax.numpy as jnp
+
+        from spgpu_tpu.ops import dd as _dd
+
+        z = whell_spmv_dd_pallas(a, x, interpret=interpret)
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if (is_zero or y is None) and isinstance(alpha, (int, float)) and alpha == 1:
+            return z
+        ah, al = _dd.dd_mul(z[0], z[1], jnp.float32(alpha), jnp.float32(0.0))
+        if is_zero or y is None:
+            return jnp.stack([ah, al])
+        bh, bl = _dd.dd_mul(y[0], y[1], jnp.float32(beta), jnp.float32(0.0))
+        h, l = _dd.dd_add_dd(ah, al, bh, bl)
+        return jnp.stack([h, l])
     return whell_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 

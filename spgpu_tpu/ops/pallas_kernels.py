@@ -28,21 +28,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from spgpu_tpu.formats.whell import WhellMatrix
 
-__all__ = ["whell_spmv_pallas", "whell_spmm_pallas", "whdia_spmv_pallas", "supports"]
-
-
-def supports(fmt: str, a, dtype) -> bool:
-    """Dispatcher hook: is a Pallas kernel available for this case?"""
-    if fmt == "whell":
-        return np.dtype(dtype) == np.float32
-    return False
-
+__all__ = ["whell_spmv_pallas", "whell_spmm_pallas", "whdia_spmv_pallas"]
 
 from spgpu_tpu.core import CHUNK_TILES as _CHUNK_TILES  # tiles per grid step
 from spgpu_tpu.core import WHDIA_CHUNK_TILES as _WHDIA_CT
@@ -126,6 +117,323 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, chunk_group,
     return acc.sum(axis=1)
 
 
+def _whell_packed_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref, pt_ref,
+                         seglo_ref, seghi_ref, x_hbm_ref, z_ref,
+                         zacc, x_vmem, xsem, *, window_pages, chunk_tiles,
+                         group_hacks):
+    """Packed-lane WHELL SpMV.
+
+    Same streaming skeleton as :func:`_whell_kernel`, plus:
+
+    * window select — ``pt`` entries span ``window_pages`` (8/16/32);
+      the 8-page sublane-gather table limit is worked around by slicing
+      ``window_pages/8`` aligned 8-page tables and selecting by the high
+      bits of ``pt`` (a 1- or 2-level vector select tree);
+    * segment flush — accumulation goes to a persistent VMEM scratch;
+      on the last chunk of each 8-hack group the scratch is slot-summed,
+      prefix-scanned along lanes, and compacted into per-row outputs via
+      the ``seg_lo``/``seg_hi`` gather (rows own lane SEGMENTS sized by
+      degree — the anti-raggedness layout, formats/whell.py).
+    """
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        zacc[:] = jnp.zeros_like(zacc)
+
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        meta = tmeta_ref[t]
+        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        win = x_vmem[pl.ds(base, 8), :]
+        if window_pages == 8:
+            h1 = jnp.take_along_axis(win, pt, axis=0)
+        else:
+            pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+            blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+            h1 = jnp.take_along_axis(win, pt7, axis=0)
+            for wb in range(1, window_pages // 8):
+                winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
+                hb = jnp.take_along_axis(winb, pt7, axis=0)
+                h1 = jnp.where(blk == wb, hb, h1)
+        g = jnp.take_along_axis(h1, res, axis=1)
+        v = vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype)
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        zacc[pl.ds(hh, 1), :, :] += (v * g)[None]
+
+    # flush: last chunk of this 8-hack group (trailing -1 sentinel makes
+    # the final chunk compare unequal)
+    last = cgroup_ref[c] != cgroup_ref[c + 1]
+
+    @pl.when(last)
+    def _():
+        y = jnp.sum(zacc[:], axis=1)  # (group_hacks, 128): slot-sum
+        # inclusive prefix scan along lanes (static shifts lower to lane
+        # shifts; 7 rounds)
+        p = y
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            p = p + jnp.concatenate(
+                [jnp.zeros((group_hacks, s), p.dtype), p[:, :128 - s]],
+                axis=1)
+        lo = seglo_ref[:].astype(jnp.int32)
+        hi = seghi_ref[:].astype(jnp.int32)
+        p_lo = jnp.take_along_axis(p, jnp.maximum(lo, 0), axis=1)
+        p_hi = jnp.take_along_axis(p, jnp.maximum(hi, 0), axis=1)
+        z_ref[:] = (p_hi * (hi >= 0).astype(p.dtype)
+                    - p_lo * (lo >= 0).astype(p.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "interpret"))
+def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
+                       tile_base, chunk_group, x2d, *, num_tiles,
+                       num_groups, x_pages, window_pages, chunk_tiles,
+                       group_hacks, interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),  # seg_lo
+            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),  # seg_hi
+            pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
+        ],
+        out_specs=pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gh, 8, 128), x2d.dtype),  # group accumulator
+            pltpu.VMEM((x_pages, 128), x2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_whell_packed_kernel, window_pages=window_pages,
+                          chunk_tiles=ct, group_hacks=gh),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), x2d.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * 6 + x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, chunk_group, values, residue, page_tab, seg_lo, seg_hi, x2d)
+
+
+def _whell_packed_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
+                            pt_ref, seglo_ref, seghi_ref, x_hbm_ref, z_ref,
+                            zh, zl, x_vmem, xsem, *, window_pages,
+                            chunk_tiles, group_hacks, interpret):
+    with __import__("contextlib").ExitStack() as _stack:
+        from spgpu_tpu.ops import dd as _ddmod
+
+        if not interpret:
+            # Mosaic can't lower optimization_barrier (and doesn't
+            # algebraically simplify fp) — trace the EFTs unguarded
+            _stack.enter_context(_ddmod.unguarded())
+        _whell_packed_dd_body(
+            tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref, pt_ref,
+            seglo_ref, seghi_ref, x_hbm_ref, z_ref, zh, zl, x_vmem, xsem,
+            window_pages=window_pages, chunk_tiles=chunk_tiles,
+            group_hacks=group_hacks)
+
+
+def _whell_packed_dd_body(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
+                          pt_ref, seglo_ref, seghi_ref, x_hbm_ref, z_ref,
+                          zh, zl, x_vmem, xsem, *, window_pages,
+                          chunk_tiles, group_hacks):
+    """Double-float (fp64 emulation) packed WHELL SpMV.
+
+    Same structure as :func:`_whell_packed_kernel` with every value in
+    (hi, lo) fp32 pairs and error-free transforms (ops/dd.py) in the
+    accumulate, slot-sum, and prefix-scan — the D-precision coverage the
+    reference gets from native fp64 (``hell_dspmv.cu:28-33``).  x is a
+    ``(2, pages, 128)`` stack staged once; products keep the ``vh*gh``
+    TwoProd error plus both cross terms (``vl*gl`` dropped — below the
+    2^-48 target)."""
+    from spgpu_tpu.ops.dd import dd_add_dd, fast_two_sum, two_prod, two_sum
+
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        zh[:] = jnp.zeros_like(zh)
+        zl[:] = jnp.zeros_like(zl)
+
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        meta = tmeta_ref[t]
+        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+
+        def window_gather(plane):
+            win = x_vmem[plane, pl.ds(base, 8), :]
+            if window_pages == 8:
+                return jnp.take_along_axis(win, pt, axis=0)
+            pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+            blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+            h1 = jnp.take_along_axis(win, pt7, axis=0)
+            for wb in range(1, window_pages // 8):
+                winb = x_vmem[plane, pl.ds(base + 8 * wb, 8), :]
+                hb = jnp.take_along_axis(winb, pt7, axis=0)
+                h1 = jnp.where(blk == wb, hb, h1)
+            return h1
+
+        g_hi = jnp.take_along_axis(window_gather(0), res, axis=1)
+        g_lo = jnp.take_along_axis(window_gather(1), res, axis=1)
+        vh = vh_ref[k * 8:(k + 1) * 8, :]
+        vl = vl_ref[k * 8:(k + 1) * 8, :]
+        p, e = two_prod(vh, g_hi)
+        e = e + (vh * g_lo + vl * g_hi)
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        ah = zh[pl.ds(hh, 1), :, :]
+        al = zl[pl.ds(hh, 1), :, :]
+        s, e2 = two_sum(ah, p[None])
+        nh, nl = fast_two_sum(s, e2 + al + e[None])
+        zh[pl.ds(hh, 1), :, :] = nh
+        zl[pl.ds(hh, 1), :, :] = nl
+
+    last = cgroup_ref[c] != cgroup_ref[c + 1]
+
+    @pl.when(last)
+    def _():
+        yh = zh[:, 0]
+        yl = zl[:, 0]
+        for s in range(1, 8):  # dd slot-sum
+            yh, yl = dd_add_dd(yh, yl, zh[:, s], zl[:, s])
+        ph, pll = yh, yl
+        for s in (1, 2, 4, 8, 16, 32, 64):  # dd prefix scan along lanes
+            zpad = jnp.zeros((group_hacks, s), ph.dtype)
+            sh = jnp.concatenate([zpad, ph[:, :128 - s]], axis=1)
+            sl = jnp.concatenate([zpad, pll[:, :128 - s]], axis=1)
+            ph, pll = dd_add_dd(ph, pll, sh, sl)
+        lo = seglo_ref[:].astype(jnp.int32)
+        hi = seghi_ref[:].astype(jnp.int32)
+        mlo = (lo >= 0).astype(ph.dtype)
+        mhi = (hi >= 0).astype(ph.dtype)
+        ph_hi = jnp.take_along_axis(ph, jnp.maximum(hi, 0), axis=1) * mhi
+        pl_hi = jnp.take_along_axis(pll, jnp.maximum(hi, 0), axis=1) * mhi
+        ph_lo = jnp.take_along_axis(ph, jnp.maximum(lo, 0), axis=1) * mlo
+        pl_lo = jnp.take_along_axis(pll, jnp.maximum(lo, 0), axis=1) * mlo
+        oh, ol = dd_add_dd(ph_hi, pl_hi, -ph_lo, -pl_lo)
+        z_ref[0] = oh
+        z_ref[1] = ol
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "interpret"))
+def _whell_packed_dd_call(values, values_lo, residue, page_tab, seg_lo,
+                          seg_hi, tile_base, chunk_group, x3d, *, num_tiles,
+                          num_groups, x_pages, window_pages, chunk_tiles,
+                          group_hacks, interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # hi
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # lo
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # res
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # pt
+            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, pages, 128)
+        ],
+        out_specs=pl.BlockSpec((2, gh, 128), lambda c, tm, cg: (0, cg[c], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gh, 8, 128), jnp.float32),
+            pltpu.VMEM((gh, 8, 128), jnp.float32),
+            pltpu.VMEM((2, x_pages, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_whell_packed_dd_kernel, window_pages=window_pages,
+                          chunk_tiles=ct, group_hacks=gh,
+                          interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, num_groups * gh, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * 10 + 2 * x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, chunk_group, values, values_lo, residue, page_tab,
+      seg_lo, seg_hi, x3d)
+
+
+def whell_spmv_dd_pallas(a: WhellMatrix, x_pair, interpret: bool = False):
+    """Double-float SpMV on a packed WHELL with dd values.
+
+    ``x_pair``: ``(2, n_lane)`` fp32 stack (``ops.dd.split`` of a float64
+    lane-space vector); returns the ``(2, n_lane)`` product stack."""
+    from spgpu_tpu.formats.whell import PanelledWhell
+
+    if isinstance(a, PanelledWhell):
+        from spgpu_tpu.ops.dd import dd_add_dd
+
+        z = None
+        off = 0
+        for p in a.panels:
+            zp = whell_spmv_dd_pallas(p, x_pair[:, off:off + p.n_cols],
+                                      interpret=interpret)
+            if z is None:
+                z = zp
+            else:
+                h, l = dd_add_dd(z[0], z[1], zp[0], zp[1])
+                z = jnp.stack([h, l])
+            off += p.n_cols
+        return z
+    if not (a.packed and a.is_dd):
+        raise ValueError("whell_spmv_dd requires a packed dd matrix "
+                         "(coo_to_whell(packed=True) on float64 values)")
+    pad = a.x_pages * 128 - a.n_cols
+    xp = jnp.pad(x_pair, ((0, 0), (0, pad))) if pad else x_pair
+    nbytes = 2 * a.x_pages * 128 * 4
+    if nbytes > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"dd x ({nbytes/2**20:.0f} MiB) exceeds the VMEM-resident limit")
+    x3d = xp.reshape(2, a.x_pages, 128)
+    z = _whell_packed_dd_call(
+        a.values, a.values_lo, a.residue, a.page_tab, a.seg_lo, a.seg_hi,
+        a.tile_base, a.chunk_group, x3d,
+        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
+        window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
+        group_hacks=a.group_hacks, interpret=interpret,
+    )
+    return z.reshape(2, -1)[:, : a.n_rows]
+
+
 def _whell_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
                        pt_ref, x_hbm_ref, z_ref, x_vmem, xsem, *, n_rhs):
     """Multi-RHS WHELL SpMM: one slab pass computes all RHS columns —
@@ -154,7 +462,8 @@ def _whell_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
         tb = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
         res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
-        v = vals_ref[k * 8:(k + 1) * 8, :]
+        # bf16 value slabs upcast here: accumulate in the x/z dtype
+        v = vals_ref[k * 8:(k + 1) * 8, :].astype(z_ref.dtype)
         hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
 
         # RHS loop as lax.fori: unrolling n_rhs x CHUNK_TILES bodies
@@ -187,7 +496,7 @@ def _whell_spmm_call(values, residue, page_tab, tile_base, chunk_group,
             (n_rhs, 8, 8, 128), lambda c, tm, cg: (0, cg[c], 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_rhs, x_pages, 128), values.dtype),
+            pltpu.VMEM((n_rhs, x_pages, 128), x3d.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -195,7 +504,7 @@ def _whell_spmm_call(values, residue, page_tab, tile_base, chunk_group,
         functools.partial(_whell_spmm_kernel, n_rhs=n_rhs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_rhs, num_groups * 8, 8, 128), values.dtype
+            (n_rhs, num_groups * 8, 8, 128), x3d.dtype
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -218,6 +527,13 @@ def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     within a few MB.
     """
     n_rhs = int(x.shape[0])
+    nbytes = n_rhs * a.x_pages * 128 * jnp.dtype(x.dtype).itemsize
+    if nbytes > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"X ({nbytes/2**20:.0f} MiB padded, {n_rhs} RHS) exceeds the "
+            f"VMEM-resident limit ({_X_VMEM_LIMIT_BYTES/2**20:.0f} MiB); "
+            "split the RHS block or use the loop-of-SpMV path"
+        )
     pad = a.x_pages * 128 - a.n_cols
     x3 = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     x3 = x3.reshape(n_rhs, a.x_pages, 128)
@@ -231,18 +547,23 @@ def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
         out = jnp.zeros((n_rhs, a.rows_padded), acc.dtype)
         acc = out.at[:, a.row_perm].set(acc[:, : a.row_perm.shape[0]])
     acc = acc[:, : a.n_rows]
+    if a.ways > 1:
+        # way-split rows: sum each way group back to one true row
+        acc = acc.reshape(n_rhs, a.n_rows // a.ways, a.ways).sum(axis=2)
     is_zero = isinstance(beta, (int, float)) and beta == 0
     if is_zero or y is None:
         return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
     return alpha * acc + beta * y
 
 
-def _whdia_kernel(r0_ref, tmeta_ref, cgroup_ref, vals_ref,
-                  x_hbm_ref, z_ref, x_vmem, xsem):
-    """WHDIA SpMV: values-only traffic.  Each slot's x window is the
+def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
+                  x_hbm_ref, z_ref, x_vmem, xsem, *, window_pages):
+    """WHDIA SpMV: near-values-only traffic.  Each slot's x window is the
     contiguous rotation x[h*128 + d + lane]; both gather index sets are
-    reconstructed arithmetically from one scalar per slot (see
-    formats/whdia.py), so unlike WHELL no index slab is streamed."""
+    reconstructed arithmetically from r0 (see formats/whdia.py), which is
+    streamed as a lane-replicated int16 slab so every per-tile op is a
+    vector op — the earlier per-slot SMEM scalars cost an 8-load unpack
+    chain per tile that left the kernel latency-bound."""
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -263,43 +584,49 @@ def _whdia_kernel(r0_ref, tmeta_ref, cgroup_ref, vals_ref,
     for k in range(_WHDIA_CT):
         t = c * _WHDIA_CT + k
         meta = tmeta_ref[t]  # base page | hack-in-group << 16
-        win8 = x_vmem[pl.ds(jax.lax.bitwise_and(meta, jnp.int32(0xFFFF)), 8), :]
-        # slot_r0 packs two biased 16-bit values per int32 word (SMEM
-        # budget); tile-local parity is static so the shifts are free.
-        r0 = jnp.stack([
-            jax.lax.bitwise_and(
-                jax.lax.shift_right_logical(
-                    r0_ref[t * 4 + s // 2], jnp.int32(16 * (s & 1))),
-                jnp.int32(0xFFFF),
-            ) - jnp.int32(128)
-            for s in range(8)
-        ]).reshape(8, 1)
+        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+        r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
         rr = jax.lax.bitwise_and(r0, jnp.int32(127))
         # rotation bijection: residue l comes from page rq (+1 if l < rr)
-        pt = jnp.clip(rq + (lane < rr).astype(jnp.int32), 0, 7)
+        pt = jnp.clip(rq + (lane < rr).astype(jnp.int32), 0, window_pages - 1)
         idx = jax.lax.bitwise_and(r0 + lane, jnp.int32(127))
-        h1 = jnp.take_along_axis(win8, pt, axis=0)
+        win8 = x_vmem[pl.ds(base, 8), :]
+        if window_pages == 8:
+            h1 = jnp.take_along_axis(win8, pt, axis=0)
+        else:
+            # wide windows: select among window_pages/8 aligned 8-page
+            # sublane-gather tables by the high bits of pt (the packed-
+            # WHELL select tree) — admits diagonal spreads up to
+            # (window_pages-2)*128 per tile
+            pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+            blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+            h1 = jnp.take_along_axis(win8, pt7, axis=0)
+            for wb in range(1, window_pages // 8):
+                winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
+                hb = jnp.take_along_axis(winb, pt7, axis=0)
+                h1 = jnp.where(blk == wb, hb, h1)
         g = jnp.take_along_axis(h1, idx, axis=1)
         contrib = vals_ref[k * 8:(k + 1) * 8, :] * g
         hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
         z_ref[pl.ds(hh, 1), :, :] += contrib[None]
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "window_pages", "interpret"))
 def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
                      x2d, *, num_tiles, num_groups, x_pages,
-                     interpret=False):
+                     window_pages=8, interpret=False):
     num_chunks = num_tiles // _WHDIA_CT
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
+            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
-            (32, 8, 128), lambda c, r0, tm, cg: (cg[c], 0, 0)
+            (32, 8, 128), lambda c, tm, cg: (cg[c], 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((x_pages, 128), values.dtype),
@@ -307,16 +634,16 @@ def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
         ],
     )
     acc = pl.pallas_call(
-        _whdia_kernel,
+        functools.partial(_whdia_kernel, window_pages=window_pages),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups * 32, 8, 128), values.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128,
-            bytes_accessed=num_tiles * 8 * 128 * 4 + x_pages * 128 * 4,
+            bytes_accessed=num_tiles * 8 * 128 * 6 + x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(slot_r0, tile_base, chunk_group, values, x2d)
+    )(tile_base, chunk_group, values, slot_r0, x2d)
     return acc.sum(axis=1)
 
 
@@ -328,7 +655,7 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     z = _whdia_spmv_call(
         a.values, a.slot_r0, a.tile_base, a.chunk_group, x2d,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
-        interpret=interpret,
+        window_pages=a.window_pages, interpret=interpret,
     )
     acc = z.reshape(-1)[: a.n_rows]
     is_zero = isinstance(beta, (int, float)) and beta == 0
@@ -365,7 +692,41 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     applied on the output.  Single-RHS; see :func:`whell_spmm_pallas`
     for the fused multi-RHS variant.
     """
+    from spgpu_tpu.formats.whell import PanelledWhell
+
+    if isinstance(a, PanelledWhell):
+        # column panels: each panel's product runs on its x slice; the
+        # flushed outputs add exactly (segment scan is linear)
+        z = None
+        off = 0
+        for p in a.panels:
+            zp = whell_spmv_pallas(p, x[off:off + p.n_cols],
+                                   interpret=interpret)
+            z = zp if z is None else z + zp
+            off += p.n_cols
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if is_zero or y is None:
+            return z if isinstance(alpha, (int, float)) and alpha == 1 else alpha * z
+        return alpha * z + beta * y
+
     x2d = _prep_x(x, a.n_cols, a.x_pages)
+    if a.seg_lo is not None:
+        # packed-lane layout: x and z live in lane space (a.embed /
+        # a.extract map original vectors in and out; solvers run in lane
+        # space end-to-end)
+        z = _whell_packed_call(
+            a.values, a.residue, a.page_tab, a.seg_lo, a.seg_hi,
+            a.tile_base, a.chunk_group, x2d,
+            num_tiles=a.num_tiles, num_groups=a.num_groups,
+            x_pages=a.x_pages, window_pages=a.window_pages,
+            chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
+            interpret=interpret,
+        )
+        acc = z.reshape(-1)[: a.n_rows]
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if is_zero or y is None:
+            return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
+        return alpha * acc + beta * y
     z = _whell_spmv_call(
         a.values, a.residue, a.page_tab, a.tile_base, a.chunk_group, x2d,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,

@@ -41,10 +41,8 @@ def solve(
         coo_to_hell,
         coo_to_whdia,
         coo_to_whell,
-        local_degree_perm,
         suggest_format,
     )
-    from spgpu_tpu.convert.whell import symmetric_relabel
     from spgpu_tpu.ops import hell_spmv, whdia_spmv, whell_spmv
     from spgpu_tpu.solvers.cg import bicgstab, cg, jacobi_preconditioner
 
@@ -60,13 +58,20 @@ def solve(
         if fmt in ("dia", "ell"):  # compute layouts for the chosen class
             fmt = {"dia": "whdia", "ell": "whell"}[fmt]
 
-    perm = None
     work = coo
+    lane_embed = None  # original-index -> lane-space map (packed WHELL)
+    is_dd = False
     if fmt == "whell":
-        perm = local_degree_perm(coo)
-        work = symmetric_relabel(coo, perm)
-        a = coo_to_whell(work)
+        # packed-lane layout: rows/columns live in lane space (phantom
+        # coordinates stay zero through the whole Krylov iteration, so
+        # the solve runs in lane space end-to-end and only b/x cross).
+        # float64 systems run the double-float kernel + cg_dd (D-precision
+        # parity with the reference's hell_dspmv/native-fp64 CG callers).
+        a = coo_to_whell(work, packed=True)
         mv = lambda v: whell_spmv(a, v)
+        lane_embed = np.asarray(a.lane_of_row)
+        n_lane = a.n_rows
+        is_dd = a.is_dd
     elif fmt == "whdia":
         a = coo_to_whdia(work)
         mv = lambda v: whdia_spmv(a, v)
@@ -77,18 +82,46 @@ def solve(
         raise ValueError(f"unknown fmt {fmt!r}")
 
     b = np.asarray(b)
-    b_work = b[perm] if perm is not None else b
     m_inv = jacobi_preconditioner(work) if jacobi else None
-    x0_work = None
-    if x0 is not None:
-        x0_work = jnp.asarray(np.asarray(x0)[perm] if perm is not None else x0)
+    if lane_embed is not None:
+        bl = np.zeros(n_lane, b.dtype)
+        bl[lane_embed] = b
+        b_work = bl
+        if m_inv is not None:
+            ml = np.ones(n_lane, np.asarray(m_inv).dtype)
+            ml[lane_embed] = np.asarray(m_inv)
+            m_inv = jnp.asarray(ml)
+        x0_work = None
+        if x0 is not None:
+            xl = np.zeros(n_lane, b.dtype)
+            xl[lane_embed] = np.asarray(x0)
+            x0_work = jnp.asarray(xl)
+    else:
+        b_work = b
+        x0_work = None if x0 is None else jnp.asarray(x0)
+
+    if is_dd:
+        from spgpu_tpu.ops import dd as _dd
+        from spgpu_tpu.solvers.cg import cg_dd
+
+        if not symmetric:
+            raise NotImplementedError("double-float BiCGSTAB not yet "
+                                      "implemented; use symmetric=True")
+        b_pair = jnp.asarray(_dd.split(np.asarray(b_work, np.float64)))
+        x0_pair = None
+        if x0_work is not None:
+            x0_pair = jnp.asarray(_dd.split(np.asarray(x0_work, np.float64)))
+        if m_inv is not None:
+            m_inv = jnp.asarray(np.asarray(m_inv, np.float64).astype(np.float32))
+        res = cg_dd(mv, b_pair, x0=x0_pair, tol=tol, maxiter=maxiter,
+                    m_inv=m_inv)
+        x64 = _dd.join(np.asarray(res.x))
+        # host float64 (a jnp array would downcast without x64 / on TPU)
+        return res._replace(x=x64[lane_embed])
 
     solver = cg if symmetric else bicgstab
     res = solver(mv, jnp.asarray(b_work), x0=x0_work, tol=tol,
                  maxiter=maxiter, m_inv=m_inv)
-    if perm is not None:
-        # x_work solves the relabelled system; x_orig[perm[i]] = x_work[i]
-        x = np.empty_like(np.asarray(res.x))
-        x[perm] = np.asarray(res.x)
-        res = res._replace(x=jnp.asarray(x))
+    if lane_embed is not None:
+        res = res._replace(x=jnp.asarray(np.asarray(res.x)[lane_embed]))
     return res

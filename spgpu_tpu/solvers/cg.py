@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from spgpu_tpu.ops import blas1
 
-__all__ = ["CgResult", "cg", "bicgstab", "jacobi_preconditioner"]
+__all__ = ["CgResult", "cg", "cg_dd", "bicgstab", "jacobi_preconditioner"]
 
 
 class CgResult(NamedTuple):
@@ -94,6 +94,89 @@ def cg(
 
     x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x0, r0, z0, r0 * 0 + z0, rz0, jnp.int32(0)))
     rnorm = jnp.sqrt(jnp.real(dotp(r, r)))
+    return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
+
+
+def cg_dd(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-12,
+    maxiter: int = 1000,
+    m_inv: Optional[jax.Array] = None,
+) -> CgResult:
+    """Conjugate gradient in double-float (fp64-on-TPU) arithmetic.
+
+    All vectors are ``(2, n)`` fp32 hi/lo stacks (``ops.dd.split``);
+    ``matvec`` maps a stack to a stack (``ops.whell_spmv`` on a packed
+    dd matrix).  Scalars (α, β, ρ) are dd pairs; dot products use
+    error-free tree summation, so the iteration matches native-fp64 CG
+    (the reference's D-precision solve workload) to ~2^-48.  ``m_inv``
+    is an fp32 Jacobi diagonal (preconditioning needs no extra
+    precision).
+    """
+    from spgpu_tpu.ops import dd
+
+    def dotd(u, v):
+        return dd.dd_dot(u, v)
+
+    def axpy_dd(alpha_pair, p, x):
+        # x + alpha*p, all dd
+        ph, pe = dd.dd_mul(p[0], p[1], alpha_pair[0], alpha_pair[1])
+        h, l = dd.dd_add_dd(x[0], x[1], ph, pe)
+        return jnp.stack([h, l])
+
+    def sub_dd(a, b2):
+        h, l = dd.dd_add_dd(a[0], a[1], -b2[0], -b2[1])
+        return jnp.stack([h, l])
+
+    def prec(v):
+        if m_inv is None:
+            return v
+        h, l = dd.dd_mul(v[0], v[1], m_inv, jnp.zeros_like(m_inv))
+        return jnp.stack([h, l])
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = sub_dd(b, matvec(x0))
+    z0 = prec(r0)
+    rz0 = dotd(r0, z0)
+    bnorm = jnp.sqrt(jnp.maximum(dotd(b, b)[0], 0.0))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        rnorm = jnp.sqrt(jnp.maximum(dotd(r, r)[0], 0.0))
+        return (rnorm > tol * bnorm) & (k < maxiter)
+
+    # Every dd state vector is pinned (optimization_barrier) IMMEDIATELY
+    # after its error-free update and BEFORE any reduction consumes it:
+    # when an unpinned dd pair flows into the dot-product tree, XLA's
+    # fusion rewrites the producing EFT arithmetic and silently drops
+    # lo-word accuracy (measured: the recursive residual then diverges
+    # from the true residual and the solve stalls at ~1e-6; pinned, the
+    # jitted loop matches the op-by-op fp64-shadowed run at ~1e-12).
+    pin = jax.lax.optimization_barrier
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        ap = pin(matvec(p))
+        pap = dotd(p, ap)
+        alpha = pin(dd.dd_div(rz[0], rz[1], pap[0], pap[1]))
+        x = pin(axpy_dd(alpha, p, x))
+        r = pin(axpy_dd((-alpha[0], -alpha[1]), ap, r))
+        z = prec(r)
+        rz_new = dotd(r, z)
+        beta = pin(dd.dd_div(rz_new[0], rz_new[1], rz[0], rz[1]))
+        bp_h, bp_l = dd.dd_mul(p[0], p[1], beta[0], beta[1])
+        ph, plo = dd.dd_add_dd(z[0], z[1], bp_h, bp_l)
+        p = pin(jnp.stack([ph, plo]))
+        return (x, r, z, p, jnp.stack(rz_new), k + 1)
+
+    x, r, z, p, rz, k = jax.lax.while_loop(
+        cond, body,
+        (x0, r0, z0, z0, jnp.stack(rz0), jnp.int32(0)))
+    rnorm = jnp.sqrt(jnp.maximum(dotd(r, r)[0], 0.0))
     return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
 
 

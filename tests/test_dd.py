@@ -1,0 +1,161 @@
+"""Double-float (fp64 emulation) arithmetic, SpMV, and CG.
+
+The reference ships D-precision natively (``hell_dspmv.cu:28-33``); TPU
+v5e has no fp64 ALU, so D is two fp32 words with error-free transforms
+(``spgpu_tpu.ops.dd``).  These tests pin the accuracy contract: ~2^-48
+per operation, 1e-13-class SpMV, and a CG trajectory that matches a
+native-float64 shadow run.
+
+The EFTs are fragile under compiler rewrites: XLA's simplifier cancels
+TwoSum error terms without the ``_ob`` barriers, and fusion into
+reduction trees rewrites producers unless solver state is pinned
+(cg.py ``pin``).  test_cg_dd_jitted_matches_float64 is the regression
+for both.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spgpu_tpu.convert.whell import coo_to_whell
+from spgpu_tpu.ops import dd
+from spgpu_tpu.ops.pallas_kernels import whell_spmv_dd_pallas
+from spgpu_tpu.utils.fixtures import laplacian_2d, random_fem_like
+
+
+def test_eft_helpers_accuracy():
+    rng = np.random.default_rng(0)
+    a64 = rng.standard_normal(2000) * 10.0 ** rng.integers(-6, 6, 2000)
+    b64 = rng.standard_normal(2000)
+    ap = jnp.asarray(dd.split(a64))
+    bp = jnp.asarray(dd.split(b64))
+
+    def f(ap, bp):
+        h, l = dd.dd_mul(ap[0], ap[1], bp[0], bp[1])
+        d = dd.dd_dot(ap, bp)
+        q = dd.dd_div(ap[0], ap[1], bp[0], bp[1])
+        return jnp.stack([h, l]), jnp.stack(d), jnp.stack([q[0], q[1]])
+
+    for fn in (f, jax.jit(f)):
+        prod, dot, quot = fn(ap, bp)
+        assert np.abs(dd.join(np.asarray(prod)) - a64 * b64).max() / np.abs(
+            a64 * b64).max() < 1e-13
+        ref = float(a64 @ b64)
+        assert abs(dd.join(np.asarray(dot)) - ref) / abs(ref) < 1e-12
+        assert np.abs(dd.join(np.asarray(quot)) - a64 / b64).max() / np.abs(
+            a64 / b64).max() < 1e-13
+
+
+def test_split_join_roundtrip():
+    """A dd pair carries ~49 significant bits (24 + 24 + sign gap);
+    split/join round-trips to 2^-48 relative, not bit-exactly."""
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal(500) * 10.0 ** rng.integers(-20, 20, 500)
+    back = dd.join(dd.split(a))
+    assert np.abs(back - a).max() / np.abs(a).max() < 2.0 ** -48 or \
+        (np.abs(back - a) <= np.abs(a) * 2.0 ** -47).all()
+
+
+@pytest.mark.parametrize("fixture", ["laplacian", "fem"])
+def test_dd_spmv_matches_float64_golden(fixture):
+    if fixture == "laplacian":
+        coo = laplacian_2d(37, 29, np.float64)
+    else:
+        coo = random_fem_like(2000, 10.0, span=150, far_frac=0.02, seed=5,
+                              dtype=np.float64)
+    a = coo_to_whell(coo, packed=True)
+    assert a.is_dd
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(coo.n_cols)
+    xl = np.zeros(a.n_rows)
+    xl[np.asarray(a.lane_of_row)] = x
+    z = whell_spmv_dd_pallas(a, jnp.asarray(dd.split(xl)), interpret=True)
+    z64 = dd.join(np.asarray(z))[np.asarray(a.lane_of_row)]
+    ref = coo.spmv(x)
+    assert np.abs(z64 - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_cg_dd_jitted_matches_float64():
+    """The D-precision solve workload: jitted dd CG must track a native
+    float64 CG (same algorithm) to the 1e-11 class — the regression for
+    the XLA EFT-rewrite hazards (barriers + state pinning)."""
+    from spgpu_tpu.ops import whell_spmv
+    from spgpu_tpu.solvers.cg import cg_dd
+
+    coo = laplacian_2d(37, 29, np.float64)
+    a = coo_to_whell(coo, packed=True)
+    lor = np.asarray(a.lane_of_row)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(coo.n_cols)
+    bl = np.zeros(a.n_rows)
+    bl[lor] = b
+    res = cg_dd(lambda v: whell_spmv(a, v, interpret=True),
+                jnp.asarray(dd.split(bl)), tol=1e-12, maxiter=1000)
+    x64 = dd.join(np.asarray(res.x))[lor]
+    # true residual, not the recursive one
+    true_r = np.linalg.norm(b - coo.spmv(x64)) / np.linalg.norm(b)
+    assert true_r < 5e-11
+    assert bool(res.converged)
+
+    # float64 shadow of the same algorithm
+    import scipy.sparse as sp
+
+    A = sp.coo_matrix((coo.values, (coo.rows, coo.cols)),
+                      shape=coo.shape).tocsr()
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = r.copy()
+    rz = r @ r
+    bn = np.linalg.norm(b)
+    it = 0
+    while np.linalg.norm(r) > 1e-12 * bn and it < 1000:
+        ap = A @ p
+        al = rz / (p @ ap)
+        x += al * p
+        r -= al * ap
+        rz2 = r @ r
+        p = r + (rz2 / rz) * p
+        rz = rz2
+        it += 1
+    assert abs(int(res.iterations) - it) <= 2  # same trajectory class
+    assert np.abs(x64 - x).max() < 1e-8 * max(np.abs(x).max(), 1.0)
+
+
+@pytest.mark.parametrize("cdt,tol", [(np.complex64, 3e-5),
+                                     (np.complex128, 1e-12)])
+def test_complex_fast_path(cdt, tol):
+    """C/Z SpMV on the packed fast path: two real-plane matrices, four
+    plane products (Z planes are dd) — the C/Z kernel coverage the
+    reference gets from template instantiation (hell_cspmv.cu)."""
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.ops import whell_spmv
+
+    rng = np.random.default_rng(0)
+    base = random_fem_like(2000, 10.0, span=150, far_frac=0.02, seed=5,
+                           dtype=np.float64)
+    vals = (rng.standard_normal(base.nnz)
+            + 1j * rng.standard_normal(base.nnz)).astype(cdt)
+    coo = CooMatrix(base.rows, base.cols, vals, base.n_rows, base.n_cols)
+    a = coo_to_whell(coo, packed=True)
+    x = (rng.standard_normal(coo.n_cols)
+         + 1j * rng.standard_normal(coo.n_cols)).astype(cdt)
+    z = whell_spmv(a, jnp.asarray(a.embed_complex(x)), interpret=True)
+    zo = a.extract_complex(np.asarray(z))
+    ref = coo.spmv(x)
+    assert np.abs(zo - ref).max() / np.abs(ref).max() < tol
+    assert zo.dtype == np.dtype(cdt)
+
+
+def test_solve_float64_routes_dd():
+    """solve() on a float64 SPD system runs the dd fast path end-to-end."""
+    from spgpu_tpu import solvers
+
+    coo = laplacian_2d(31, 23, np.float64)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(coo.n_rows)
+    res = solvers.solve(coo, b, tol=1e-11, fmt="whell")
+    x = np.asarray(res.x, dtype=np.float64)
+    resid = np.linalg.norm(b - coo.spmv(x)) / np.linalg.norm(b)
+    assert resid < 1e-10

@@ -33,10 +33,10 @@ def test_layout_roundtrip(name):
     a = coo_to_whdia(coo)
     np.testing.assert_array_equal(a.to_dense(), coo.to_dense())
     assert a.total_slots % 64 == 0
-    # r0 values (packed two biased-16-bit per word) fit the 8-page window
-    packed = np.asarray(a.slot_r0).astype(np.int64)
-    r0 = np.r_[(packed & 0xFFFF) - 128, ((packed >> 16) & 0xFFFF) - 128]
-    assert r0.max() < 1024
+    # r0 values fit the 8-page window and the slab is lane-replicated
+    r0 = np.asarray(a.slot_r0).astype(np.int64)
+    assert r0.max() < 1024 and r0.min() >= -127
+    assert (r0 == r0[:, :1]).all()
 
 
 @pytest.mark.parametrize("name", sorted(CASES))

@@ -143,6 +143,113 @@ def test_bf16_value_slabs():
     assert np.asarray(z).dtype == np.float32
 
 
+@pytest.mark.parametrize("w", [8, 16, 32])
+def test_packed_lane_layout(w):
+    """Packed-lane WHELL (proportional lane segments + in-kernel
+    segment-scan flush): golden SpMV match in lane space across window
+    sizes, and dense reconstruction equals the original matrix."""
+    coo = random_fem_like(3000, 12.0, span=200, far_frac=0.02, seed=9,
+                          dtype=np.float32)
+    a = coo_to_whell(coo, packed=True, window_pages=w)
+    x = np.random.default_rng(1).standard_normal(coo.n_cols).astype(np.float32)
+    xl = a.embed(jnp.asarray(x))
+    z = whell_spmv_pallas(a, xl, interpret=True)
+    zo = np.asarray(a.extract(z))
+    ref = coo.spmv(x)
+    np.testing.assert_allclose(zo, ref, rtol=3e-5, atol=3e-5)
+    lor = np.asarray(a.lane_of_row)
+    np.testing.assert_allclose(
+        a.to_dense()[np.ix_(lor, lor)], coo.sum_duplicates().to_dense(),
+        rtol=1e-6, atol=1e-7)
+
+
+def test_packed_beats_classic_padding():
+    """The anti-raggedness design goal: packed padding must be well below
+    classic on a power-law degree profile."""
+    coo = random_fem_like(20000, 27.0, span=768, far_frac=0.01, seed=0,
+                          dtype=np.float32)
+    coo = symmetric_relabel(coo, __import__(
+        "spgpu_tpu.convert.whell", fromlist=["local_degree_perm"]
+    ).local_degree_perm(coo))
+    classic = coo_to_whell(coo)
+    packed = coo_to_whell(coo, packed=True)
+    assert packed.values.size < 0.7 * classic.values.size
+
+
+def test_packed_alpha_beta_duplicates_empty():
+    coo = ctest_fixture(np.float32)  # duplicate diagonal entries add
+    a = coo_to_whell(coo, packed=True)
+    x = np.ones(100, np.float32)
+    xl = a.embed(jnp.asarray(x))
+    z = a.extract(whell_spmv_pallas(a, xl, interpret=True))
+    np.testing.assert_allclose(np.asarray(z), np.full(100, 2.0), rtol=1e-6)
+    # alpha/beta path (y in lane space)
+    y = jnp.ones(a.n_rows, jnp.float32)
+    z2 = whell_spmv_pallas(a, xl, alpha=2.0, beta=-1.0, y=y, interpret=True)
+    ref = 2.0 * np.asarray(whell_spmv_pallas(a, xl, interpret=True)) - 1.0
+    np.testing.assert_allclose(np.asarray(z2), ref, rtol=1e-6)
+    # empty matrix
+    e = CooMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                  np.zeros(0, np.float32), 300, 300)
+    ae = coo_to_whell(e, packed=True)
+    ze = whell_spmv_pallas(ae, jnp.ones(ae.n_rows, jnp.float32), interpret=True)
+    np.testing.assert_array_equal(np.asarray(ze), np.zeros(ae.n_rows, np.float32))
+
+
+def test_packed_column_panels():
+    """x beyond the VMEM budget splits into window-aligned column panels
+    whose products sum exactly (removes the r1 size cliff; reference
+    bar: the ELL chunk loop ell_spmv_base.cuh:118-136)."""
+    from spgpu_tpu.formats.whell import PanelledWhell
+
+    coo = random_fem_like(4000, 10.0, span=300, far_frac=0.03, seed=4,
+                          dtype=np.float32)
+    a = coo_to_whell(coo, packed=True, panel_x_bytes=32 * 128 * 4)
+    assert isinstance(a, PanelledWhell) and len(a.panels) >= 2
+    x = np.random.default_rng(0).standard_normal(coo.n_cols).astype(np.float32)
+    xl = a.embed(jnp.asarray(x))
+    z = np.asarray(a.extract(whell_spmv_pallas(a, xl, interpret=True)))
+    ref = coo.spmv(x)
+    np.testing.assert_allclose(z, ref, rtol=3e-5, atol=3e-5)
+    # identical to the unpanelled product
+    b = coo_to_whell(coo, packed=True)
+    zb = np.asarray(b.extract(whell_spmv_pallas(b, b.embed(jnp.asarray(x)),
+                                                interpret=True)))
+    # panel partial sums reassociate fp32 addition; equality is modulo
+    # rounding of the split accumulation
+    np.testing.assert_allclose(z, zb, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_fused_bf16_values_fp32_x():
+    """Fused SpMM with bf16 value slabs and fp32 X must stage X and
+    accumulate in fp32 (regression: scratch/out used values.dtype)."""
+    from spgpu_tpu.ops.pallas_kernels import whell_spmm_pallas
+
+    coo = random_fem_like(2000, 10.0, span=150, far_frac=0.02, seed=12,
+                          dtype=np.float32)
+    a = coo_to_whell(coo, dtype=jnp.bfloat16)
+    X = np.random.default_rng(8).standard_normal((4, coo.n_cols)).astype(np.float32)
+    Z = whell_spmm_pallas(a, jnp.asarray(X), interpret=True)
+    assert np.asarray(Z).dtype == np.float32
+    ref = coo.spmv(X)
+    rel = np.abs(np.asarray(Z) - ref).max() / np.abs(ref).max()
+    assert rel < 0.03
+
+
+def test_spmm_fused_way_split():
+    """Fused SpMM on a ways>1 matrix must reduce way groups (regression:
+    it returned unreduced virtual rows)."""
+    from spgpu_tpu.ops.pallas_kernels import whell_spmm_pallas
+
+    coo = random_fem_like(2000, 10.0, span=150, far_frac=0.02, seed=13,
+                          dtype=np.float32)
+    a = coo_to_whell(coo, ways=2)
+    X = np.random.default_rng(9).standard_normal((3, coo.n_cols)).astype(np.float32)
+    Z = whell_spmm_pallas(a, jnp.asarray(X), interpret=True)
+    assert Z.shape == (3, coo.n_rows)
+    np.testing.assert_allclose(np.asarray(Z), coo.spmv(X), rtol=3e-5, atol=3e-5)
+
+
 def test_update_values_same_pattern():
     """Pattern-reuse value refresh (the ellcsput analogue for
     time-dependent problems)."""
