@@ -37,7 +37,9 @@ def _excl_cumsum(a: np.ndarray) -> np.ndarray:
 
 def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
     vals_in = coo.values if dtype is None else coo.values.astype(dtype)
-    val_dtype = vals_in.dtype
+    # fp64 -> double-float slabs, as in packed WHELL (hdia_dspmv parity)
+    is_dd = np.dtype(vals_in.dtype) == np.float64
+    val_dtype = np.dtype(np.float64) if is_dd else vals_in.dtype
     num_hacks = max(-(-coo.n_rows // _HACK), 1)
     num_groups = -(-num_hacks // _GROUP)
     num_pages = max(-(-coo.n_cols // 128), 1)
@@ -49,7 +51,10 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
 
         w = window_pages or 8
         return WhdiaMatrix(
-            values=jnp.zeros((total, _HACK), val_dtype),
+            values=jnp.zeros((total, _HACK),
+                             jnp.float32 if is_dd else val_dtype),
+            values_lo=(jnp.zeros((total, _HACK), jnp.float32)
+                       if is_dd else None),
             slot_r0=jnp.zeros((total, _HACK), jnp.int16),
             tile_base=jnp.zeros((total // 8,), jnp.int32),
             chunk_group=jnp.arange(num_groups, dtype=jnp.int32),
@@ -157,11 +162,18 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
     slot_r0w = np.repeat(slot_r0[:, None], _HACK, axis=1)
     vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
     vals[slot_final[slot_of_entry], lane[order]] = vals_in[order]
+    vals_lo = None
+    if is_dd:
+        from spgpu_tpu.ops.dd import split as _dd_split
+
+        pair = _dd_split(vals)
+        vals, vals_lo = pair[0], pair[1]
 
     import jax.numpy as jnp
 
     return WhdiaMatrix(
         values=jnp.asarray(vals),
+        values_lo=None if vals_lo is None else jnp.asarray(vals_lo),
         slot_r0=jnp.asarray(slot_r0w),
         tile_base=jnp.asarray(tile_meta),
         chunk_group=jnp.asarray(chunk_group),

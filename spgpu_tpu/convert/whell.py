@@ -407,8 +407,11 @@ def _coo_to_whell_packed(
     else:
         num_hacks, hack_of_row, lane_start = nat
     num_hacks = max(num_hacks, 1)
-    _, first_idx = np.unique(hack_of_row[:n], return_index=True)
-    out_pos = np.arange(n, dtype=np.int64) - first_idx[hack_of_row[:n]]
+    # hack_of_row is non-decreasing (greedy fill walks rows in order)
+    hfirst = np.r_[True, hack_of_row[1:n] != hack_of_row[:n - 1]]
+    first_idx = np.flatnonzero(hfirst)
+    out_pos = (np.arange(n, dtype=np.int64)
+               - np.repeat(first_idx, np.diff(np.r_[first_idx, n])))
     lane_of_row = (hack_of_row[:n] * _HACK + out_pos).astype(np.int32)
 
     gh, ct = group_hacks, chunk_tiles
@@ -443,53 +446,60 @@ def _coo_to_whell_packed(
             group_hacks=gh, chunk_tiles=ct,
         )
 
-    cols_l = lane_of_row[coo.cols].astype(np.int64)
-    page = cols_l // 128
-    resid = cols_l % 128
-    win = page // w
-    delta = page % w
+    cols_l32 = lane_of_row[coo.cols]  # int32, lane-space columns
     nwin = x_pages // w
     hack = hack_of_row[coo.rows]
+    G = hack * nwin + (cols_l32.astype(np.int64) >> 7) // w
 
-    G = hack * nwin + win
-    order = np.lexsort((cols_l, coo.rows, G))
-    Gs = G[order]
-    rows_s = coo.rows[order]
-    res_s = resid[order]
-    del_s = delta[order]
-
-    # rank within (G, row) in column order
-    rg_change = np.r_[True, (Gs[1:] != Gs[:-1]) | (rows_s[1:] != rows_s[:-1])]
-    rg_starts = np.flatnonzero(rg_change)
-    t_rank = np.arange(m, dtype=np.int64) - np.repeat(
-        rg_starts, np.diff(np.r_[rg_starts, m]))
-    dr = d[rows_s]
-
-    nat_seg = _native.whell_assign_seg(
-        Gs, rows_s, lane_start[rows_s], dr, res_s, del_s)
-    if nat_seg is not None:
-        k, vlane = nat_seg
+    # entries must sort by (G, row, col).  A full 3-key lexsort costs 3
+    # stable passes (~9 s at 12M nnz); instead canonicalise to (row,
+    # col) order once (already true for sum_duplicates()/fixture COOs —
+    # detected in O(m)) and do ONE stable sort by G, which preserves the
+    # (row, col) suborder.
+    rsorted = coo.rows[1:] >= coo.rows[:-1]
+    if np.all(rsorted) and np.all(
+            (coo.rows[1:] > coo.rows[:-1]) | (coo.cols[1:] >= coo.cols[:-1])):
+        order = np.argsort(G, kind="stable")
     else:
+        pre = np.argsort(coo.rows * np.int64(coo.n_cols) + coo.cols,
+                         kind="stable")
+        order = pre[np.argsort(G[pre], kind="stable")]
+
+    nat = _native.whell_gather_assign(
+        order, coo.rows, cols_l32, d, lane_start, hack_of_row, nwin, w)
+    if nat is not None:
+        # fused gather + first-fit + group widths (one C++ pass)
+        _ng, k, vlane, res_s, del_s, g_id, W, g_G = nat
+    else:
+        Gs = G[order]
+        rows_s = coo.rows[order]
+        cl_s = cols_l32[order].astype(np.int64)
+        res_s = (cl_s & 127).astype(np.int8)
+        del_s = ((cl_s >> 7) % w).astype(np.int8)
+        dr = d[rows_s]
+        # NumPy fallback: round-robin slots, bump whole-row conflicts to
+        # fresh slots (lanes of different rows are disjoint so only
+        # residue/page conflicts arise)
+        rg_change = np.r_[True,
+                          (Gs[1:] != Gs[:-1]) | (rows_s[1:] != rows_s[:-1])]
+        rg_starts = np.flatnonzero(rg_change)
+        t_rank = np.arange(m, dtype=np.int64) - np.repeat(
+            rg_starts, np.diff(np.r_[rg_starts, m]))
         vlane = lane_start[rows_s] + t_rank % dr
-        k = None
-    if k is None:
-        # NumPy fallback: start from the round-robin slot, bump whole-row
-        # conflicts to fresh slots (same eviction scheme as the classic
-        # layout; lanes of different rows are disjoint so only residue/
-        # page conflicts arise)
         k = t_rank // dr
         rg_of = np.cumsum(rg_change) - 1
         rg_top = np.zeros(rg_of[-1] + 1, dtype=np.int64)
         np.maximum.at(rg_top, rg_of, k + 1)
+        del_i = del_s.astype(np.int64)
         for _round in range(64):
             key = (Gs * (k.max() + 1) + k) * 128 + res_s
             o = np.argsort(key, kind="stable")
             ks = key[o]
             grp = np.r_[True, ks[1:] != ks[:-1]]
-            rep = np.repeat(del_s[o][grp],
+            rep = np.repeat(del_i[o][grp],
                             np.diff(np.r_[np.flatnonzero(grp), ks.size]))
             conflict = np.zeros(m, dtype=bool)
-            conflict[o] = del_s[o] != rep
+            conflict[o] = del_i[o] != rep
             if not conflict.any():
                 break
             ev = np.flatnonzero(conflict)
@@ -505,38 +515,48 @@ def _coo_to_whell_packed(
             o = np.argsort(key, kind="stable")
             ks = key[o]
             grp = np.r_[True, ks[1:] != ks[:-1]]
-            rep = np.repeat(del_s[o][grp],
+            rep = np.repeat(del_i[o][grp],
                             np.diff(np.r_[np.flatnonzero(grp), ks.size]))
             conflict = np.zeros(m, dtype=bool)
-            conflict[o] = del_s[o] != rep
+            conflict[o] = del_i[o] != rep
             ev = np.flatnonzero(conflict)
             k[ev] = k.max() + 1 + np.arange(ev.size)
+        g_first = np.r_[True, Gs[1:] != Gs[:-1]]
+        g_id = np.cumsum(g_first) - 1
+        W = np.maximum.reduceat(k + 1, np.flatnonzero(g_first))
+        g_G = Gs[g_first]
 
     vals_sorted = vals_in[order]
     seg_lo_j = jnp.asarray(seg_lo)
     seg_hi_j = jnp.asarray(seg_hi)
     lane_of_row_j = jnp.asarray(lane_of_row)
 
-    def build_panel(sel, win_off, pages_p, cols_p):
-        """Build one column panel's WhellMatrix from the sorted-entry
-        subset ``sel`` (its windows shifted by ``win_off``).  Shares the
-        lane space / seg slabs with every other panel; per-panel products
-        sum (the segment flush is linear in the accumulated values)."""
-        Gs_p = Gs[sel]
-        k_p = k[sel]
-        vlane_p = vlane[sel]
-        res_p = res_s[sel]
-        del_p = del_s[sel]
-        m_p = int(Gs_p.size)
-
-        g_first = np.r_[True, Gs_p[1:] != Gs_p[:-1]]
-        g_id = np.cumsum(g_first) - 1
-        W = np.zeros(g_id[-1] + 1 if m_p else 1, dtype=np.int64)
-        np.maximum.at(W, g_id, k_p + 1)
-        W8 = -(-W // 8) * 8
-        g_G = Gs_p[g_first] if m_p else np.zeros(1, np.int64)
-        g_hack = g_G // nwin
-        g_win = g_G % nwin - win_off
+    def build_panel(gsel, win_off, pages_p, cols_p):
+        """Build one column panel's WhellMatrix from the group subset
+        ``gsel`` (its windows shifted by ``win_off``).  Shares the lane
+        space / seg slabs with every other panel; per-panel products sum
+        (the segment flush is linear in the accumulated values)."""
+        if gsel is None:  # single panel: no subset copies
+            k_p, vlane_p, res_p, del_p, gid_p = k, vlane, res_s, del_s, g_id
+            W_p, gG_p = W, g_G
+            v_p = vals_sorted
+        else:
+            esel = gsel[g_id]
+            k_p = k[esel]
+            vlane_p = vlane[esel]
+            res_p = res_s[esel]
+            del_p = del_s[esel]
+            gmap = np.cumsum(gsel) - 1
+            gid_p = gmap[g_id[esel]]
+            W_p = W[gsel]
+            gG_p = g_G[gsel]
+            v_p = vals_sorted[esel]
+        if W_p.size == 0:
+            W_p = np.zeros(1, np.int64)
+            gG_p = np.zeros(1, np.int64)
+        W8 = -(-W_p // 8) * 8
+        g_hack = gG_p // nwin
+        g_win = gG_p % nwin - win_off
 
         raw_tiles_per_grp = W8 // 8
         hack8 = g_hack // gh
@@ -550,13 +570,13 @@ def _coo_to_whell_packed(
                     - _excl_cumsum(tiles_per_g8)[hack8])
         g_tile0 = g8_base[hack8] + within_t
 
-        slot = g_tile0[g_id] * 8 + k_p
+        slot = g_tile0[gid_p] * 8 + k_p
         vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
         res8 = np.zeros((total_slots, _HACK), dtype=np.int8)
         pt8 = np.zeros((total_slots, 128), dtype=np.int8)
-        vals[slot, vlane_p] = vals_sorted[sel]
+        vals[slot, vlane_p] = v_p
         res8[slot, vlane_p] = res_p.astype(np.int8)
-        pt8[slot, res_p] = del_p.astype(np.int8)
+        pt8[slot, res_p.astype(np.int64)] = del_p.astype(np.int8)
         vals_lo = None
         if is_dd:
             from spgpu_tpu.ops.dd import split as _dd_split
@@ -592,7 +612,7 @@ def _coo_to_whell_packed(
             row_perm=None,
             n_rows=n_lane, n_cols=cols_p, num_hacks=num_hacks,
             num_groups=num_groups, total_slots=total_slots,
-            nnz=m_p,
+            nnz=int(k_p.size),
             x_pages=pages_p,
             seg_lo=seg_lo_j, seg_hi=seg_hi_j,
             lane_of_row=lane_of_row_j,
@@ -605,20 +625,19 @@ def _coo_to_whell_packed(
     budget = panel_x_bytes or _PANEL_X_BYTES
     budget_pages = max((budget // (128 * x_entry_bytes)) // w, 1) * w
     if x_pages <= budget_pages:
-        full = np.ones(m, dtype=bool)
-        return build_panel(full, 0, x_pages, n_lane)
+        return build_panel(None, 0, x_pages, n_lane)
 
     wins_per_panel = budget_pages // w
-    win_s = Gs % nwin
+    g_win_all = g_G % nwin
     n_panels = -(-nwin // wins_per_panel)
     panels = []
     for p in range(n_panels):
         w0 = p * wins_per_panel
         w1 = min((p + 1) * wins_per_panel, nwin)
-        sel = (win_s >= w0) & (win_s < w1)
+        gsel = (g_win_all >= w0) & (g_win_all < w1)
         pages_p = (w1 - w0) * w
         cols_p = min(pages_p * 128, n_lane - w0 * w * 128)
-        panels.append(build_panel(sel, w0, pages_p, cols_p))
+        panels.append(build_panel(gsel, w0, pages_p, cols_p))
     from spgpu_tpu.formats.whell import PanelledWhell
 
     return PanelledWhell(panels=tuple(panels), panel_pages=budget_pages,

@@ -36,6 +36,7 @@ Layout rules (mirroring WHELL's chunking):
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import numpy as np
@@ -69,6 +70,9 @@ class WhdiaMatrix:
     #: tile at w=32 — for a few extra select ops per tile (the same
     #: select-tree trick as packed WHELL).
     window_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
+    #: low fp32 words of a double-float (fp64) value slab — D-precision
+    #: parity with the reference's hdia_dspmv (TPU has no fp64 ALU)
+    values_lo: Optional[jax.Array] = None
 
     hack_size = 128
     group_hacks = 32
@@ -82,6 +86,10 @@ class WhdiaMatrix:
         return self.values.dtype
 
     @property
+    def is_dd(self) -> bool:
+        return self.values_lo is not None
+
+    @property
     def num_tiles(self) -> int:
         return self.total_slots // 8
 
@@ -91,14 +99,19 @@ class WhdiaMatrix:
 
     @property
     def storage_bytes(self) -> int:
-        return int(
+        n = int(
             self.values.size * self.values.dtype.itemsize
             + self.slot_r0.size * 2 + self.tile_base.size * 4
             + self.chunk_group.size * 4
         )
+        if self.values_lo is not None:
+            n += int(self.values_lo.size * self.values_lo.dtype.itemsize)
+        return n
 
     def to_dense(self) -> np.ndarray:
         vals = np.asarray(self.values)
+        if self.values_lo is not None:
+            vals = vals.astype(np.float64) + np.asarray(self.values_lo)
         r0 = np.asarray(self.slot_r0)[:, 0].astype(np.int64)
         meta = np.asarray(self.tile_base).astype(np.int64)
         tb = meta & 0xFFFF

@@ -214,6 +214,7 @@ class WhellMatrix:
         return np.asarray(self.row_perm)[stored_rows]
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PanelledWhell:
     """Column-panelled packed WHELL for matrices whose x exceeds the
@@ -227,11 +228,11 @@ class PanelledWhell:
     """
 
     panels: tuple  # of WhellMatrix, consecutive column slices
-    panel_pages: int  # x pages per panel (last may be narrower)
-    n_rows: int
-    n_cols: int
-    orig_rows: int
-    nnz: int
+    panel_pages: int = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    orig_rows: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -274,6 +275,7 @@ class PanelledWhell:
         return np.concatenate([p.to_dense() for p in self.panels], axis=1)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class WhellComplex:
     """Complex packed WHELL as two real-plane matrices (C/Z coverage of
@@ -288,10 +290,10 @@ class WhellComplex:
 
     ar: object  # WhellMatrix | PanelledWhell — real parts
     ai: object  # imaginary parts (same layout by construction)
-    n_rows: int
-    n_cols: int
-    orig_rows: int
-    nnz: int
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    orig_rows: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def shape(self):

@@ -157,11 +157,22 @@ def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
 
 def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
     """SpMV on the WHDIA compute layout (the Pallas TPU fast path for
-    HDIA-class matrices; see :mod:`spgpu_tpu.formats.whdia`)."""
-    from spgpu_tpu.ops.pallas_kernels import whdia_spmv_pallas
+    HDIA-class matrices; see :mod:`spgpu_tpu.formats.whdia`).  Double-
+    float matrices (float64 values) take/return ``(2, n)`` hi/lo
+    stacks."""
+    from spgpu_tpu.ops.pallas_kernels import (
+        whdia_spmv_dd_pallas,
+        whdia_spmv_pallas,
+    )
 
     if interpret is None:
         interpret = not _on_tpu()
+    if getattr(a, "is_dd", False):
+        if not (isinstance(alpha, (int, float)) and alpha == 1
+                and isinstance(beta, (int, float)) and beta == 0):
+            raise NotImplementedError("alpha/beta on the dd WHDIA path: "
+                                      "combine on the caller side")
+        return whdia_spmv_dd_pallas(a, x, interpret=interpret)
     return whdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 
@@ -169,20 +180,33 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
                fused: bool = False):
     """Multi-RHS SpMM on WHELL (``x``: ``(n_rhs, n_cols)``).
 
-    Default strategy: one Pallas SpMV per RHS under one jit — measured
-    faster on v5e than the fused single-pass kernel
-    (:func:`~spgpu_tpu.ops.pallas_kernels.whell_spmm_pallas`, available
-    via ``fused=True``), whose per-(tile, rhs) loop overhead currently
-    outweighs the slab-reuse win (BASELINE.md round-2 item).  Either way
-    this is one device program, not the reference's host-side loop of
-    kernel launches (``sdot.cu:167-175`` pattern, SURVEY §2.5)."""
+    Default strategy: one Pallas SpMV per RHS under one jit.  XLA
+    pipelines the independent kernels, which already delivers the
+    slab-amortisation a fused pass would: measured 42.9 GFLOPS
+    aggregate at 8 RHS on the packed 262k FEM config vs 29.1 for one
+    SpMV — and the fused single-pass kernels (``fused=True``) measure
+    WORSE (the per-(tile, rhs) fori overhead exceeds the shared-decode
+    saving on this VPU-op-bound kernel; r2 chip run: 8.9 GFLOPS).
+    Either way this is one device program, not the reference's
+    host-side loop of kernel launches (``sdot.cu:167-175`` pattern,
+    SURVEY §2.5)."""
     import jax.numpy as jnp
 
-    from spgpu_tpu.ops.pallas_kernels import whell_spmm_pallas, whell_spmv_pallas
+    from spgpu_tpu.ops.pallas_kernels import (
+        whell_spmm_packed_pallas,
+        whell_spmm_pallas,
+        whell_spmv_pallas,
+    )
 
     if interpret is None:
         interpret = not _on_tpu()
     if fused:
+        if getattr(a, "packed", False):
+            zs = whell_spmm_packed_pallas(a, x, interpret=interpret)
+            is_zero = isinstance(beta, (int, float)) and beta == 0
+            if is_zero or y is None:
+                return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
+            return alpha * zs + beta * y
         return whell_spmm_pallas(a, x, alpha, beta, y, interpret=interpret)
     zs = jnp.stack([
         whell_spmv_pallas(a, x[r], interpret=interpret)

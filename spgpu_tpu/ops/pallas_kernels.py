@@ -434,6 +434,161 @@ def whell_spmv_dd_pallas(a: WhellMatrix, x_pair, interpret: bool = False):
     return z.reshape(2, -1)[:, : a.n_rows]
 
 
+def _whell_packed_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
+                              pt_ref, seglo_ref, seghi_ref, x_hbm_ref, z_ref,
+                              zacc, x_vmem, xsem, *, window_pages,
+                              chunk_tiles, group_hacks, n_rhs):
+    """Fused multi-RHS packed-WHELL SpMM: the slab (values + indices) is
+    decoded ONCE per tile and amortised over ``n_rhs`` products (the
+    reference loops scalar kernels host-side, sdot.cu:167-175).  The
+    kernel is VPU-op-bound, so the win comes from sharing the slab
+    loads/casts and per-tile scalar work, not from HBM traffic."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        zacc[:] = jnp.zeros_like(zacc)
+
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        meta = tmeta_ref[t]
+        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        v = vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype)
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        if window_pages > 8:
+            pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+            blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+
+        # RHS loop as lax.fori: unrolling n_rhs x chunk_tiles bodies
+        # explodes the Mosaic compile (DESIGN.md)
+        def rhs_body(r, _):
+            win = x_vmem[r, pl.ds(base, 8), :]
+            if window_pages == 8:
+                h1 = jnp.take_along_axis(win, pt, axis=0)
+            else:
+                h1 = jnp.take_along_axis(win, pt7, axis=0)
+                for wb in range(1, window_pages // 8):
+                    winb = x_vmem[r, pl.ds(base + 8 * wb, 8), :]
+                    hb = jnp.take_along_axis(winb, pt7, axis=0)
+                    h1 = jnp.where(blk == wb, hb, h1)
+            g = jnp.take_along_axis(h1, res, axis=1)
+            zacc[r, pl.ds(hh, 1), :, :] += (v * g)[None]
+            return 0
+
+        jax.lax.fori_loop(0, n_rhs, rhs_body, 0)
+
+    last = cgroup_ref[c] != cgroup_ref[c + 1]
+
+    @pl.when(last)
+    def _():
+        lo = seglo_ref[:].astype(jnp.int32)
+        hi = seghi_ref[:].astype(jnp.int32)
+        mlo = (lo >= 0)
+        mhi = (hi >= 0)
+        for r in range(n_rhs):  # static: n_rhs scans per group, amortised
+            p = jnp.sum(zacc[r], axis=1)
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                p = p + jnp.concatenate(
+                    [jnp.zeros((group_hacks, s), p.dtype), p[:, :128 - s]],
+                    axis=1)
+            p_lo = jnp.take_along_axis(p, jnp.maximum(lo, 0), axis=1)
+            p_hi = jnp.take_along_axis(p, jnp.maximum(hi, 0), axis=1)
+            z_ref[r] = (p_hi * mhi.astype(p.dtype)
+                        - p_lo * mlo.astype(p.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "n_rhs", "interpret"))
+def _whell_packed_spmm_call(values, residue, page_tab, seg_lo, seg_hi,
+                            tile_base, chunk_group, x3d, *, num_tiles,
+                            num_groups, x_pages, window_pages, chunk_tiles,
+                            group_hacks, n_rhs, interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x3d (n_rhs, pages, 128)
+        ],
+        out_specs=pl.BlockSpec(
+            (n_rhs, gh, 128), lambda c, tm, cg: (0, cg[c], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_rhs, gh, 8, 128), x3d.dtype),
+            pltpu.VMEM((n_rhs, x_pages, 128), x3d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_whell_packed_spmm_kernel,
+                          window_pages=window_pages, chunk_tiles=ct,
+                          group_hacks=gh, n_rhs=n_rhs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rhs, num_groups * gh, 128), x3d.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 8 * 128 * n_rhs,
+            bytes_accessed=num_tiles * 8 * 128 * 6
+            + n_rhs * x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, chunk_group, values, residue, page_tab, seg_lo, seg_hi, x3d)
+
+
+def whell_spmm_packed_pallas(a, x, interpret: bool = False):
+    """Fused ``Z = A @ X`` on a packed WHELL; ``x``: ``(n_rhs, n_lane)``
+    lane-space stack, returns ``(n_rhs, n_lane)``."""
+    from spgpu_tpu.formats.whell import PanelledWhell
+
+    n_rhs = int(x.shape[0])
+    if isinstance(a, PanelledWhell):
+        z = None
+        off = 0
+        for p in a.panels:
+            zp = whell_spmm_packed_pallas(p, x[:, off:off + p.n_cols],
+                                          interpret=interpret)
+            z = zp if z is None else z + zp
+            off += p.n_cols
+        return z
+    nbytes = (n_rhs * a.x_pages * 128 * jnp.dtype(x.dtype).itemsize
+              + n_rhs * a.group_hacks * 8 * 128 * 4)
+    if nbytes > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"X block + accumulator ({nbytes/2**20:.0f} MiB) exceeds the "
+            "VMEM budget; convert with panel_x_bytes ~ "
+            f"{_X_VMEM_LIMIT_BYTES // max(n_rhs, 1)} and loop panels")
+    pad = a.x_pages * 128 - a.n_cols
+    x3 = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    x3 = x3.reshape(n_rhs, a.x_pages, 128)
+    z = _whell_packed_spmm_call(
+        a.values, a.residue, a.page_tab, a.seg_lo, a.seg_hi,
+        a.tile_base, a.chunk_group, x3,
+        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
+        window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
+        group_hacks=a.group_hacks, n_rhs=n_rhs, interpret=interpret,
+    )
+    return z.reshape(n_rhs, -1)[:, : a.n_rows]
+
+
 def _whell_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
                        pt_ref, x_hbm_ref, z_ref, x_vmem, xsem, *, n_rhs):
     """Multi-RHS WHELL SpMM: one slab pass computes all RHS columns —
@@ -662,6 +817,139 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     if is_zero or y is None:
         return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
     return alpha * acc + beta * y
+
+
+def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
+                     x_hbm_ref, z_ref, x_vmem, xsem, *, window_pages,
+                     interpret):
+    """Double-float WHDIA SpMV (D-precision parity with hdia_dspmv.cu).
+
+    Same index arithmetic as :func:`_whdia_kernel`; values and x are
+    (hi, lo) fp32 pairs, accumulation is error-free (ops/dd.py), and
+    both planes RMW the (2, 32, 8, 128) output block."""
+    with __import__("contextlib").ExitStack() as _stack:
+        from spgpu_tpu.ops import dd as _ddmod
+
+        if not interpret:
+            _stack.enter_context(_ddmod.unguarded())
+        from spgpu_tpu.ops.dd import fast_two_sum, two_prod, two_sum
+
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+            dma.start()
+            dma.wait()
+
+        first = jnp.logical_or(
+            c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+        )
+
+        @pl.when(first)
+        def _():
+            z_ref[:] = jnp.zeros_like(z_ref)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        for k in range(_WHDIA_CT):
+            t = c * _WHDIA_CT + k
+            meta = tmeta_ref[t]
+            base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+            r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+            rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
+            rr = jax.lax.bitwise_and(r0, jnp.int32(127))
+            pt = jnp.clip(rq + (lane < rr).astype(jnp.int32),
+                          0, window_pages - 1)
+            idx = jax.lax.bitwise_and(r0 + lane, jnp.int32(127))
+
+            def window_gather(plane):
+                win = x_vmem[plane, pl.ds(base, 8), :]
+                if window_pages == 8:
+                    h1 = jnp.take_along_axis(win, pt, axis=0)
+                else:
+                    pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+                    blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+                    h1 = jnp.take_along_axis(win, pt7, axis=0)
+                    for wb in range(1, window_pages // 8):
+                        winb = x_vmem[plane, pl.ds(base + 8 * wb, 8), :]
+                        hb = jnp.take_along_axis(winb, pt7, axis=0)
+                        h1 = jnp.where(blk == wb, hb, h1)
+                return jnp.take_along_axis(h1, idx, axis=1)
+
+            g_hi = window_gather(0)
+            g_lo = window_gather(1)
+            vh = vh_ref[k * 8:(k + 1) * 8, :]
+            vl = vl_ref[k * 8:(k + 1) * 8, :]
+            p, e = two_prod(vh, g_hi)
+            e = e + (vh * g_lo + vl * g_hi)
+            hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+            ah = z_ref[0, pl.ds(hh, 1), :, :]
+            al = z_ref[1, pl.ds(hh, 1), :, :]
+            s, e2 = two_sum(ah, p[None])
+            nh, nl = fast_two_sum(s, e2 + al + e[None])
+            z_ref[0, pl.ds(hh, 1), :, :] = nh
+            z_ref[1, pl.ds(hh, 1), :, :] = nl
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "interpret"))
+def _whdia_dd_call(values, values_lo, slot_r0, tile_base, chunk_group,
+                   x3d, *, num_tiles, num_groups, x_pages,
+                   window_pages=8, interpret=False):
+    num_chunks = num_tiles // _WHDIA_CT
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, pages, 128)
+        ],
+        out_specs=pl.BlockSpec(
+            (2, 32, 8, 128), lambda c, tm, cg: (0, cg[c], 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, x_pages, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    acc = pl.pallas_call(
+        functools.partial(_whdia_dd_kernel, window_pages=window_pages,
+                          interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (2, num_groups * 32, 8, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * 10 + 2 * x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, chunk_group, values, values_lo, slot_r0, x3d)
+    # dd slot-sum epilogue (XLA): reduce the 8 slot positions error-free
+    from spgpu_tpu.ops.dd import dd_add_dd
+
+    ph, plo = acc[0, :, 0], acc[1, :, 0]
+    for s in range(1, 8):
+        ph, plo = dd_add_dd(ph, plo, acc[0, :, s], acc[1, :, s])
+    return jnp.stack([ph, plo])
+
+
+def whdia_spmv_dd_pallas(a, x_pair, interpret: bool = False):
+    """Double-float WHDIA SpMV; ``x_pair``: ``(2, n_cols)`` fp32 stack."""
+    if not a.is_dd:
+        raise ValueError("whdia_spmv_dd requires dd values "
+                         "(coo_to_whdia on float64)")
+    pad = a.x_pages * 128 - a.n_cols
+    xp = jnp.pad(x_pair, ((0, 0), (0, pad))) if pad else x_pair
+    x3d = xp.reshape(2, a.x_pages, 128)
+    z = _whdia_dd_call(
+        a.values, a.values_lo, a.slot_r0, a.tile_base, a.chunk_group, x3d,
+        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
+        window_pages=a.window_pages, interpret=interpret,
+    )
+    return z.reshape(2, -1)[:, : a.n_rows]
 
 
 #: x must fit the persistent VMEM scratch next to the streamed slab

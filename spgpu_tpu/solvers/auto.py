@@ -53,6 +53,11 @@ def solve(
     # this, a duplicated COO would solve a different matrix depending on
     # which layout the auto-selector picks.
     coo = coo.sum_duplicates()
+    if np.issubdtype(coo.values.dtype, np.complexfloating):
+        # complex Krylov runs the XLA path (complex SpMV is fast-path
+        # capable — ops.whell_spmv on a WhellComplex — but the plane-
+        # stacked complex CG is not wired yet)
+        fmt = "hell"
     if fmt is None:
         fmt = suggest_format(coo)
         if fmt in ("dia", "ell"):  # compute layouts for the chosen class
@@ -75,6 +80,7 @@ def solve(
     elif fmt == "whdia":
         a = coo_to_whdia(work)
         mv = lambda v: whdia_spmv(a, v)
+        is_dd = a.is_dd
     elif fmt == "hell":
         a = coo_to_hell(work)
         mv = lambda v: hell_spmv(a, v)
@@ -102,22 +108,22 @@ def solve(
 
     if is_dd:
         from spgpu_tpu.ops import dd as _dd
-        from spgpu_tpu.solvers.cg import cg_dd
+        from spgpu_tpu.solvers.cg import bicgstab_dd, cg_dd
 
-        if not symmetric:
-            raise NotImplementedError("double-float BiCGSTAB not yet "
-                                      "implemented; use symmetric=True")
         b_pair = jnp.asarray(_dd.split(np.asarray(b_work, np.float64)))
         x0_pair = None
         if x0_work is not None:
             x0_pair = jnp.asarray(_dd.split(np.asarray(x0_work, np.float64)))
         if m_inv is not None:
             m_inv = jnp.asarray(np.asarray(m_inv, np.float64).astype(np.float32))
-        res = cg_dd(mv, b_pair, x0=x0_pair, tol=tol, maxiter=maxiter,
-                    m_inv=m_inv)
+        dd_solver = cg_dd if symmetric else bicgstab_dd
+        res = dd_solver(mv, b_pair, x0=x0_pair, tol=tol, maxiter=maxiter,
+                        m_inv=m_inv)
         x64 = _dd.join(np.asarray(res.x))
         # host float64 (a jnp array would downcast without x64 / on TPU)
-        return res._replace(x=x64[lane_embed])
+        if lane_embed is not None:
+            x64 = x64[lane_embed]
+        return res._replace(x=x64)
 
     solver = cg if symmetric else bicgstab
     res = solver(mv, jnp.asarray(b_work), x0=x0_work, tol=tol,

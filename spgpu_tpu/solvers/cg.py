@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from spgpu_tpu.ops import blas1
 
-__all__ = ["CgResult", "cg", "cg_dd", "bicgstab", "jacobi_preconditioner"]
+__all__ = ["CgResult", "cg", "cg_dd", "bicgstab", "bicgstab_dd",
+           "jacobi_preconditioner"]
 
 
 class CgResult(NamedTuple):
@@ -176,6 +177,108 @@ def cg_dd(
     x, r, z, p, rz, k = jax.lax.while_loop(
         cond, body,
         (x0, r0, z0, z0, jnp.stack(rz0), jnp.int32(0)))
+    rnorm = jnp.sqrt(jnp.maximum(dotd(r, r)[0], 0.0))
+    return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
+
+
+def bicgstab_dd(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-12,
+    maxiter: int = 1000,
+    m_inv: Optional[jax.Array] = None,
+) -> CgResult:
+    """BiCGSTAB in double-float arithmetic (non-symmetric fp64 systems
+    on the fp32 fast path); vectors are ``(2, n)`` hi/lo stacks.
+
+    Same dd-state pinning discipline as :func:`cg_dd` (every dd vector
+    is pinned before a reduction consumes it).  Breakdown guards follow
+    :func:`bicgstab`: a vanishing ρ/(r̂·v)/ω freezes the iterate.
+    """
+    from spgpu_tpu.ops import dd
+
+    pin = jax.lax.optimization_barrier
+
+    def dotd(u, v):
+        return dd.dd_dot(u, v)
+
+    def mul_s(p, s):  # dd vector * dd scalar -> stack
+        h, l = dd.dd_mul(p[0], p[1], s[0], s[1])
+        return jnp.stack([h, l])
+
+    def add_v(u, v):
+        h, l = dd.dd_add_dd(u[0], u[1], v[0], v[1])
+        return jnp.stack([h, l])
+
+    def neg_v(u):
+        return jnp.stack([-u[0], -u[1]])
+
+    def prec(v):
+        if m_inv is None:
+            return v
+        h, l = dd.dd_mul(v[0], v[1], m_inv, jnp.zeros_like(m_inv))
+        return jnp.stack([h, l])
+
+    def div_s(a, b2):
+        return dd.dd_div(a[0], a[1], b2[0], b2[1])
+
+    def mul_ss(a, b2):
+        return dd.dd_mul(a[0], a[1], b2[0], b2[1])
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = pin(add_v(b, neg_v(matvec(x0))))
+    rhat = r0
+    bnorm = jnp.sqrt(jnp.maximum(dotd(b, b)[0], 0.0))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    one = (jnp.float32(1.0), jnp.float32(0.0))
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, k, down = s
+        rnorm = jnp.sqrt(jnp.maximum(dotd(r, r)[0], 0.0))
+        return (rnorm > tol * bnorm) & (k < maxiter) & ~down
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, k, down = s
+        rho_new = pin(jnp.stack(dotd(rhat, r)))
+        beta = mul_ss(div_s(rho_new, rho), div_s(alpha, omega))
+        pmov = add_v(p, neg_v(mul_s(v, omega)))
+        p2 = pin(add_v(r, mul_s(pmov, beta)))
+        phat = prec(p2)
+        v2 = pin(matvec(phat))
+        rv = pin(jnp.stack(dotd(rhat, v2)))
+        alpha2 = pin(jnp.stack(div_s(rho_new, rv)))
+        s_vec = pin(add_v(r, neg_v(mul_s(v2, alpha2))))
+        shat = prec(s_vec)
+        t = pin(matvec(shat))
+        tt = dotd(t, t)
+        ts = dotd(t, s_vec)
+        omega2 = pin(jnp.stack(jnp.where(
+            tt[0] == 0,
+            jnp.stack([jnp.float32(0), jnp.float32(0)]),
+            jnp.stack(dd.dd_div(ts[0], ts[1],
+                                jnp.where(tt[0] == 0, 1.0, tt[0]), tt[1])),
+        )))
+        x2 = pin(add_v(add_v(x, mul_s(phat, alpha2)), mul_s(shat, omega2)))
+        r2 = pin(add_v(s_vec, neg_v(mul_s(t, omega2))))
+        tiny = jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32)
+        rr2 = dotd(r2, r2)[0]
+        down2 = ((jnp.abs(rho_new[0]) < tiny)
+                 | (jnp.abs(rv[0]) < tiny)
+                 | (jnp.abs(omega2[0]) < tiny)
+                 | ~jnp.isfinite(rr2))
+        keep = lambda new, old: jnp.where(down2, old, new)
+        return (keep(x2, x), keep(r2, r), p2, v2, rho_new,
+                jnp.stack(alpha2), jnp.where(down2, jnp.stack(omega),
+                                             jnp.stack(omega2)),
+                k + 1, down2)
+
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+            jnp.stack(one), jnp.stack(one), jnp.stack(one),
+            jnp.int32(0), jnp.bool_(False))
+    x, r, p, v, rho, alpha, omega, k, down = jax.lax.while_loop(
+        cond, body, init)
     rnorm = jnp.sqrt(jnp.maximum(dotd(r, r)[0], 0.0))
     return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
 

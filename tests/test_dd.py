@@ -123,6 +123,38 @@ def test_cg_dd_jitted_matches_float64():
     assert np.abs(x64 - x).max() < 1e-8 * max(np.abs(x).max(), 1.0)
 
 
+def test_whdia_dd_spmv_and_solve():
+    """D-precision WHDIA (hdia_dspmv parity): dd SpMV vs float64 golden,
+    and solve() routing a float64 banded SPD system through cg_dd."""
+    from spgpu_tpu import solvers
+    from spgpu_tpu.convert.whdia import coo_to_whdia
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.ops.pallas_kernels import whdia_spmv_dd_pallas
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    coo = random_banded(900, bands=7, wander=13, seed=4,
+                        dtype=np.float64).sum_duplicates()
+    a = coo_to_whdia(coo)
+    assert a.is_dd
+    x = np.random.default_rng(0).standard_normal(coo.n_cols)
+    z = whdia_spmv_dd_pallas(a, jnp.asarray(dd.split(x)), interpret=True)
+    ref = coo.spmv(x)
+    assert np.abs(dd.join(np.asarray(z)) - ref).max() / np.abs(ref).max() < 1e-12
+
+    band = random_banded(1024, bands=5, wander=1, seed=9,
+                         dtype=np.float64).sum_duplicates()
+    n = 1024
+    rows = np.concatenate([band.rows, band.cols, np.arange(n)])
+    cols = np.concatenate([band.cols, band.rows, np.arange(n)])
+    vals = np.concatenate([np.abs(band.values) * .01,
+                           np.abs(band.values) * .01, np.ones(n) * 5.0])
+    A = CooMatrix(rows, cols, vals, n, n).sum_duplicates()
+    b = np.random.default_rng(1).standard_normal(n)
+    res = solvers.solve(A, b, tol=1e-12, fmt="whdia")
+    xs = np.asarray(res.x, np.float64)
+    assert np.linalg.norm(b - A.spmv(xs)) / np.linalg.norm(b) < 1e-11
+
+
 @pytest.mark.parametrize("cdt,tol", [(np.complex64, 3e-5),
                                      (np.complex128, 1e-12)])
 def test_complex_fast_path(cdt, tol):
@@ -146,6 +178,25 @@ def test_complex_fast_path(cdt, tol):
     ref = coo.spmv(x)
     assert np.abs(zo - ref).max() / np.abs(ref).max() < tol
     assert zo.dtype == np.dtype(cdt)
+
+
+def test_bicgstab_dd_nonsymmetric():
+    """Non-symmetric fp64 solve on the fast path (dd BiCGSTAB)."""
+    from spgpu_tpu import solvers
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    rng = np.random.default_rng(0)
+    n = 1024
+    band = random_banded(n, bands=5, wander=2, seed=3, dtype=np.float64)
+    rows = np.concatenate([band.rows, np.arange(n)])
+    cols = np.concatenate([band.cols, np.arange(n)])
+    vals = np.concatenate([band.values * 0.1, np.ones(n) * 4.0])
+    A = CooMatrix(rows, cols, vals, n, n).sum_duplicates()
+    b = rng.standard_normal(n)
+    res = solvers.solve(A, b, symmetric=False, tol=1e-12, fmt="whell")
+    x = np.asarray(res.x, np.float64)
+    assert np.linalg.norm(b - A.spmv(x)) / np.linalg.norm(b) < 1e-10
 
 
 def test_solve_float64_routes_dd():

@@ -220,6 +220,22 @@ def test_packed_column_panels():
     np.testing.assert_allclose(z, zb, rtol=1e-5, atol=1e-5)
 
 
+def test_spmm_fused_packed():
+    """Fused multi-RHS SpMM on the packed layout: one slab decode per
+    tile serves every RHS (whell_spmm(fused=True) routes here)."""
+    from spgpu_tpu.ops import whell_spmm
+
+    coo = random_fem_like(3000, 12.0, span=200, far_frac=0.02, seed=9,
+                          dtype=np.float32)
+    a = coo_to_whell(coo, packed=True)
+    X = np.random.default_rng(4).standard_normal((4, coo.n_cols)).astype(np.float32)
+    Xl = np.zeros((4, a.n_rows), np.float32)
+    Xl[:, np.asarray(a.lane_of_row)] = X
+    Z = np.asarray(whell_spmm(a, jnp.asarray(Xl), fused=True, interpret=True))
+    np.testing.assert_allclose(Z[:, np.asarray(a.lane_of_row)], coo.spmv(X),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_spmm_fused_bf16_values_fp32_x():
     """Fused SpMM with bf16 value slabs and fp32 X must stage X and
     accumulate in fp32 (regression: scratch/out used values.dtype)."""
