@@ -130,10 +130,13 @@ def coo_to_whell(
     ops per tile.
     """
     if packed:
-        if row_perm is not None or sort_rows or return_plan or ways != 1:
+        if row_perm is not None or sort_rows or ways != 1:
             raise ValueError("packed=True is incompatible with "
-                             "row_perm/sort_rows/return_plan/ways")
+                             "row_perm/sort_rows/ways")
         vdt = np.dtype(coo.values.dtype if dtype is None else dtype)
+        if return_plan and np.issubdtype(vdt, np.complexfloating):
+            raise ValueError("return_plan is not supported for complex "
+                             "packed matrices (convert anew)")
         if np.issubdtype(vdt, np.complexfloating):
             # C/Z: two real-plane conversions sharing the deterministic
             # layout (formats.whell.WhellComplex); Z planes are dd
@@ -166,7 +169,8 @@ def coo_to_whell(
         return _coo_to_whell_packed(coo, window_pages or 32, lane_capacity,
                                     dtype, group_hacks=32,
                                     chunk_tiles=16 if is_dd_vals else 64,
-                                    panel_x_bytes=panel_x_bytes)
+                                    panel_x_bytes=panel_x_bytes,
+                                    return_plan=return_plan)
     window_pages = window_pages or 8
     if window_pages != 8:
         raise ValueError("window_pages > 8 requires packed=True")
@@ -358,6 +362,7 @@ def _coo_to_whell_packed(
     group_hacks: int = 16,
     chunk_tiles: int = 32,
     panel_x_bytes: Optional[int] = None,
+    return_plan: bool = False,
 ) -> WhellMatrix:
     """Packed-lane WHELL builder (see :func:`coo_to_whell` docstring).
 
@@ -428,6 +433,26 @@ def _coo_to_whell_packed(
 
     if m == 0:
         total = num_groups * ct * 8
+        if return_plan:
+            e = np.zeros(0, np.int64)
+            return WhellMatrix(
+                values=jnp.zeros((total, _HACK),
+                                 jnp.float32 if is_dd else val_dtype),
+                values_lo=(jnp.zeros((total, _HACK), jnp.float32)
+                           if is_dd else None),
+                residue=jnp.zeros((total, _HACK), jnp.int8),
+                page_tab=jnp.zeros((total, 128), jnp.int8),
+                tile_base=jnp.zeros((num_groups * ct,), jnp.int32),
+                chunk_group=jnp.asarray(
+                    np.r_[np.arange(num_groups, dtype=np.int32), -1]),
+                row_perm=None, n_rows=n_lane, n_cols=n_lane,
+                num_hacks=num_hacks, num_groups=num_groups,
+                total_slots=total, nnz=0, x_pages=x_pages,
+                seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
+                lane_of_row=jnp.asarray(lane_of_row),
+                window_pages=w, orig_rows=n,
+                group_hacks=gh, chunk_tiles=ct,
+            ), (e, e, e)
         return WhellMatrix(
             values=jnp.zeros((total, _HACK), jnp.float32 if is_dd else val_dtype),
             values_lo=(jnp.zeros((total, _HACK), jnp.float32) if is_dd else None),
@@ -602,7 +627,7 @@ def _coo_to_whell_packed(
             np.int32(-1),
         ]
 
-        return WhellMatrix(
+        mat = WhellMatrix(
             values=jnp.asarray(vals),
             values_lo=None if vals_lo is None else jnp.asarray(vals_lo),
             residue=jnp.asarray(res8),
@@ -619,29 +644,52 @@ def _coo_to_whell_packed(
             window_pages=w, orig_rows=n,
             group_hacks=gh, chunk_tiles=ct,
         )
+        return mat, slot, vlane_p
 
     # --- column panels: x must fit the persistent VMEM scratch ----------
     x_entry_bytes = 8 if is_dd else 4  # dd stages both planes
     budget = panel_x_bytes or _PANEL_X_BYTES
     budget_pages = max((budget // (128 * x_entry_bytes)) // w, 1) * w
     if x_pages <= budget_pages:
-        return build_panel(None, 0, x_pages, n_lane)
+        mat, slot, vlane_s = build_panel(None, 0, x_pages, n_lane)
+        if not return_plan:
+            return mat
+        # plan in ORIGINAL entry order: entry i lives at cell
+        # (panel=0, plan_slot[i], plan_lane[i])
+        plan_panel = np.zeros(m, np.int64)
+        plan_slot = np.empty(m, np.int64)
+        plan_lane = np.empty(m, np.int64)
+        plan_slot[order] = slot
+        plan_lane[order] = vlane_s
+        return mat, (plan_panel, plan_slot, plan_lane)
 
     wins_per_panel = budget_pages // w
     g_win_all = g_G % nwin
     n_panels = -(-nwin // wins_per_panel)
     panels = []
+    plan_panel = np.empty(m, np.int64)
+    plan_slot = np.empty(m, np.int64)
+    plan_lane = np.empty(m, np.int64)
     for p in range(n_panels):
         w0 = p * wins_per_panel
         w1 = min((p + 1) * wins_per_panel, nwin)
         gsel = (g_win_all >= w0) & (g_win_all < w1)
         pages_p = (w1 - w0) * w
         cols_p = min(pages_p * 128, n_lane - w0 * w * 128)
-        panels.append(build_panel(gsel, w0, pages_p, cols_p))
+        mat, slot, vlane_s = build_panel(gsel, w0, pages_p, cols_p)
+        panels.append(mat)
+        if return_plan:
+            orig = order[gsel[g_id]]
+            plan_panel[orig] = p
+            plan_slot[orig] = slot
+            plan_lane[orig] = vlane_s
     from spgpu_tpu.formats.whell import PanelledWhell
 
-    return PanelledWhell(panels=tuple(panels), panel_pages=budget_pages,
-                         n_rows=n_lane, n_cols=n_lane, orig_rows=n, nnz=m)
+    out = PanelledWhell(panels=tuple(panels), panel_pages=budget_pages,
+                        n_rows=n_lane, n_cols=n_lane, orig_rows=n, nnz=m)
+    if return_plan:
+        return out, (plan_panel, plan_slot, plan_lane)
+    return out
 
 
 def whell_update_values(a: WhellMatrix, plan, new_values) -> WhellMatrix:
@@ -655,7 +703,37 @@ def whell_update_values(a: WhellMatrix, plan, new_values) -> WhellMatrix:
     ``alpha`` argument — ``ell_csput_base.cuh:44-73`` — a reference bug
     we don't replicate: this function plainly stores).
     """
+    import dataclasses as _dc
+
     import jax.numpy as jnp
+
+    if len(plan) == 3:  # packed plan: (panel, slot, lane)
+        from spgpu_tpu.formats.whell import PanelledWhell
+
+        pp, ps, pl_ = plan
+        is_dd = getattr(a, "is_dd", False)
+        newv = np.asarray(new_values,
+                          np.float64 if is_dd else None)
+        mats = a.panels if isinstance(a, PanelledWhell) else (a,)
+        new_mats = []
+        for i, mat in enumerate(mats):
+            sel = pp == i
+            vals = np.zeros((mat.total_slots, _HACK),
+                            dtype=np.float64 if is_dd
+                            else np.asarray(mat.values).dtype)
+            vals[ps[sel], pl_[sel]] = newv[sel]
+            if is_dd:
+                from spgpu_tpu.ops.dd import split as _dd_split
+
+                pair = _dd_split(vals)
+                new_mats.append(_dc.replace(
+                    mat, values=jnp.asarray(pair[0]),
+                    values_lo=jnp.asarray(pair[1])))
+            else:
+                new_mats.append(_dc.replace(mat, values=jnp.asarray(vals)))
+        if isinstance(a, PanelledWhell):
+            return _dc.replace(a, panels=tuple(new_mats))
+        return new_mats[0]
 
     slot, lane = plan
     vals = np.zeros((a.total_slots, _HACK), dtype=np.asarray(a.values).dtype)

@@ -287,6 +287,45 @@ def test_update_values_same_pattern():
     np.testing.assert_array_equal(np.asarray(a.residue), np.asarray(a2.residue))
 
 
+def test_update_values_packed_plan():
+    """Pattern-reuse refresh on the packed layout (single panel fp32 and
+    multi-panel dd) — the ellcsput analogue for time-dependent PDEs."""
+    from spgpu_tpu.convert.whell import whell_update_values
+    from spgpu_tpu.formats.whell import PanelledWhell
+    from spgpu_tpu.ops import dd
+    from spgpu_tpu.ops.pallas_kernels import whell_spmv_dd_pallas
+
+    rng = np.random.default_rng(3)
+    coo = random_fem_like(2000, 10.0, span=150, far_frac=0.02, seed=11,
+                          dtype=np.float32)
+    a, plan = coo_to_whell(coo, packed=True, return_plan=True)
+    newv = rng.standard_normal(coo.nnz).astype(np.float32)
+    a2 = whell_update_values(a, plan, newv)
+    coo2 = CooMatrix(coo.rows, coo.cols, newv, coo.n_rows, coo.n_cols)
+    x = rng.standard_normal(coo.n_cols).astype(np.float32)
+    xl = np.asarray(a2.embed(jnp.asarray(x)))
+    z = np.asarray(a2.extract(whell_spmv_pallas(a2, jnp.asarray(xl),
+                                                interpret=True)))
+    np.testing.assert_allclose(z, coo2.spmv(x), rtol=3e-5, atol=3e-5)
+
+    coo64 = random_fem_like(4000, 10.0, span=300, far_frac=0.02, seed=11,
+                            dtype=np.float64)
+    a3, plan3 = coo_to_whell(coo64, packed=True, return_plan=True,
+                             panel_x_bytes=32 * 128 * 8)
+    assert isinstance(a3, PanelledWhell) and a3.is_dd
+    newv64 = rng.standard_normal(coo64.nnz)
+    a4 = whell_update_values(a3, plan3, newv64)
+    coo3 = CooMatrix(coo64.rows, coo64.cols, newv64, 4000, 4000)
+    x4 = rng.standard_normal(4000)
+    xl2 = np.zeros(a4.n_rows)
+    xl2[np.asarray(a4.lane_of_row)] = x4
+    z2 = dd.join(np.asarray(whell_spmv_dd_pallas(
+        a4, jnp.asarray(dd.split(xl2)), interpret=True)))
+    ref = coo3.spmv(x4)
+    assert np.abs(z2[np.asarray(a4.lane_of_row)] - ref).max() / \
+        np.abs(ref).max() < 1e-12
+
+
 def test_way_split_rows():
     """ways>1 splits rows into virtual rows and reduces way groups back;
     measured on v5e: padding got WORSE on the fem profile (group-count
