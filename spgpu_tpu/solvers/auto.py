@@ -54,9 +54,11 @@ def solve(
     # which layout the auto-selector picks.
     coo = coo.sum_duplicates()
     if np.issubdtype(coo.values.dtype, np.complexfloating):
-        # complex Krylov runs the XLA path (complex SpMV is fast-path
-        # capable — ops.whell_spmv on a WhellComplex — but the plane-
-        # stacked complex CG is not wired yet)
+        if symmetric and fmt in (None, "whell"):
+            # hermitian PD: plane-stacked complex CG on the packed fast
+            # path (C = fp32 planes, Z = dd planes)
+            return _solve_complex_herm(coo, b, tol, maxiter, x0)
+        # non-symmetric complex Krylov runs the XLA path
         fmt = "hell"
     if fmt is None:
         fmt = suggest_format(coo)
@@ -131,3 +133,21 @@ def solve(
     if lane_embed is not None:
         res = res._replace(x=jnp.asarray(np.asarray(res.x)[lane_embed]))
     return res
+
+
+def _solve_complex_herm(coo, b, tol, maxiter, x0):
+    """Hermitian PD complex solve on the packed plane fast path."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.convert import coo_to_whell
+    from spgpu_tpu.ops import whell_spmv
+    from spgpu_tpu.solvers.cg import cg_herm_planes, cg_herm_planes_dd
+
+    a = coo_to_whell(coo, packed=True)
+    mv = lambda v: whell_spmv(a, v)
+    b = np.asarray(b)
+    bs = jnp.asarray(a.embed_complex(b))
+    x0s = None if x0 is None else jnp.asarray(a.embed_complex(np.asarray(x0)))
+    solver = cg_herm_planes_dd if a.is_dd else cg_herm_planes
+    res = solver(mv, bs, x0=x0s, tol=tol, maxiter=maxiter)
+    return res._replace(x=a.extract_complex(np.asarray(res.x)))

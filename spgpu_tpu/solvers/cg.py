@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from spgpu_tpu.ops import blas1
 
-__all__ = ["CgResult", "cg", "cg_dd", "bicgstab", "bicgstab_dd",
-           "jacobi_preconditioner"]
+__all__ = ["CgResult", "cg", "cg_dd", "cg_herm_planes", "cg_herm_planes_dd",
+           "bicgstab", "bicgstab_dd", "jacobi_preconditioner"]
 
 
 class CgResult(NamedTuple):
@@ -178,6 +178,112 @@ def cg_dd(
         cond, body,
         (x0, r0, z0, z0, jnp.stack(rz0), jnp.int32(0)))
     rnorm = jnp.sqrt(jnp.maximum(dotd(r, r)[0], 0.0))
+    return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
+
+
+def cg_herm_planes(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-6,
+    maxiter: int = 1000,
+) -> CgResult:
+    """CG for hermitian positive-definite COMPLEX systems on the plane-
+    stacked fast path: vectors are ``(2, n)`` fp32 [re, im] stacks and
+    ``matvec`` is the 4-plane-product SpMV (``ops.whell_spmv`` on a
+    :class:`~spgpu_tpu.formats.whell.WhellComplex`).  For hermitian PD
+    systems every CG scalar is real, so the iteration needs only the
+    real parts of the inner products (``Re<u,v> = ur·vr + ui·vi``)."""
+
+    def dot_re(u, v):
+        return jnp.sum(u[0] * v[0] + u[1] * v[1])
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    rz0 = dot_re(r0, r0)
+    bnorm = jnp.sqrt(dot_re(b, b))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+
+    def cond(state):
+        x, r, p, rz, k = state
+        return (jnp.sqrt(jnp.maximum(rz, 0.0)) > tol * bnorm) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        ap = matvec(p)
+        alpha = rz / dot_re(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rz_new = dot_re(r, r)
+        p = r + (rz_new / rz) * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, p, rz, k = jax.lax.while_loop(
+        cond, body, (x0, r0, r0, rz0, jnp.int32(0)))
+    rnorm = jnp.sqrt(jnp.maximum(rz, 0.0))
+    return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
+
+
+def cg_herm_planes_dd(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-12,
+    maxiter: int = 1000,
+) -> CgResult:
+    """Z-precision hermitian CG: vectors are ``(2, 2, n)`` stacks
+    ([re, im] × [hi, lo]); ``matvec`` is the dd 4-plane SpMV.  All CG
+    scalars are real dd pairs; the same EFT pinning discipline as
+    :func:`cg_dd` applies."""
+    from spgpu_tpu.ops import dd
+
+    pin = jax.lax.optimization_barrier
+
+    def dot_re(u, v):
+        hr, lr = dd.dd_dot(u[0], v[0])
+        hi, li = dd.dd_dot(u[1], v[1])
+        return dd.dd_add_dd(hr, lr, hi, li)  # real part, dd pair
+
+    def axpy(alpha, p, x):
+        """x + alpha*p per plane (alpha a real dd pair)."""
+        outs = []
+        for pl_ in range(2):
+            h, l = dd.dd_mul(p[pl_][0], p[pl_][1], alpha[0], alpha[1])
+            h2, l2 = dd.dd_add_dd(x[pl_][0], x[pl_][1], h, l)
+            outs.append(jnp.stack([h2, l2]))
+        return jnp.stack(outs)
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    ax0 = matvec(x0)
+    r0 = jnp.stack([
+        jnp.stack(dd.dd_add_dd(b[pl_][0], b[pl_][1],
+                               -ax0[pl_][0], -ax0[pl_][1]))
+        for pl_ in range(2)])
+    rz0 = dot_re(r0, r0)
+    bnorm = jnp.sqrt(jnp.maximum(dot_re(b, b)[0], 0.0))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+
+    def cond(state):
+        x, r, p, rz, k = state
+        return (jnp.sqrt(jnp.maximum(rz[0], 0.0)) > tol * bnorm) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        ap = pin(matvec(p))
+        pap = dot_re(p, ap)
+        alpha = pin(dd.dd_div(rz[0], rz[1], pap[0], pap[1]))
+        x = pin(axpy(alpha, p, x))
+        r = pin(axpy((-alpha[0], -alpha[1]), ap, r))
+        rz_new = dot_re(r, r)
+        beta = pin(dd.dd_div(rz_new[0], rz_new[1], rz[0], rz[1]))
+        p = pin(axpy(beta, p, r))
+        return (x, r, p, jnp.stack(rz_new), k + 1)
+
+    x, r, p, rz, k = jax.lax.while_loop(
+        cond, body, (x0, r0, r0, jnp.stack(rz0), jnp.int32(0)))
+    rnorm = jnp.sqrt(jnp.maximum(rz[0], 0.0))
     return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
 
 

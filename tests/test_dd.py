@@ -180,6 +180,30 @@ def test_complex_fast_path(cdt, tol):
     assert zo.dtype == np.dtype(cdt)
 
 
+@pytest.mark.parametrize("cdt,tol,check", [(np.complex64, 1e-5, 1e-4),
+                                           (np.complex128, 1e-12, 1e-10)])
+def test_hermitian_cg_fast_path(cdt, tol, check):
+    """C/Z hermitian positive-definite solve through the packed complex
+    plane fast path (Z = dd planes) — the Z-precision CG workload the
+    reference's zdot/zhellspmv kernels fed."""
+    from spgpu_tpu import solvers
+    from spgpu_tpu.formats.coo import CooMatrix
+
+    rng = np.random.default_rng(0)
+    n = 600
+    d = np.ones(n) * 6.0
+    off = (rng.standard_normal(n - 1) + 1j * rng.standard_normal(n - 1)) * 0.5
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([d.astype(np.complex128), off, np.conj(off)])
+    A = CooMatrix(rows, cols, vals.astype(cdt), n, n)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(cdt)
+    res = solvers.solve(A, b, tol=tol, maxiter=500)
+    x = np.asarray(res.x)
+    assert x.dtype == np.dtype(cdt)
+    assert np.linalg.norm(b - A.spmv(x)) / np.linalg.norm(b) < check
+
+
 def test_bicgstab_dd_nonsymmetric():
     """Non-symmetric fp64 solve on the fast path (dd BiCGSTAB)."""
     from spgpu_tpu import solvers
