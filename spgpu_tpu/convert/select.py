@@ -67,7 +67,10 @@ def estimate_formats(coo: CooMatrix, itemsize: int = 4) -> Dict[str, FormatEstim
     cells = hd * 128
     out["whdia"] = FormatEstimate("whdia", cells * itemsize, cells / m)
 
-    # WHELL: sum over (hack, superpage) groups of max-per-row count × 128
+    # WHELL: classic-layout cells — sum over (hack, superpage) groups of
+    # max-per-row count × 128 — scaled by the measured packed-layout
+    # ratio (proportional lane segments + 32-page windows cut the
+    # power-law raggedness ~2.2x on the profiles measured; BASELINE.md)
     nsp = max(-(-coo.n_cols // 1024), 1)
     G = hack * nsp + coo.cols // 1024
     key = G * n + coo.rows
@@ -81,6 +84,7 @@ def estimate_formats(coo: CooMatrix, itemsize: int = 4) -> Dict[str, FormatEstim
     W = np.zeros(gid[-1] + 1, dtype=np.int64)
     np.maximum.at(W, gid, cs)
     cells = int((-(-W // 8) * 8).sum()) * 128
+    cells = int(cells * 0.46)  # packed-lane layout ratio (measured)
     out["whell"] = FormatEstimate("whell", cells * (itemsize + 2), cells / m)
 
     return out

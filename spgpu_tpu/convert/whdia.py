@@ -35,18 +35,34 @@ def _excl_cumsum(a: np.ndarray) -> np.ndarray:
     return out
 
 
-def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
+def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
+                 group_hacks=None, chunk_tiles=None) -> WhdiaMatrix:
     vals_in = coo.values if dtype is None else coo.values.astype(dtype)
     # fp64 -> double-float slabs, as in packed WHELL (hdia_dspmv parity)
     is_dd = np.dtype(vals_in.dtype) == np.float64
     val_dtype = np.dtype(np.float64) if is_dd else vals_in.dtype
     num_hacks = max(-(-coo.n_rows // _HACK), 1)
-    num_groups = -(-num_hacks // _GROUP)
+    # geometry defaults (chip sweep, BASELINE.md): 128-hack groups /
+    # 128-tile chunks lift banded-31 70.7 -> 86.7 GFLOPS and the 1M
+    # Laplacian 28.2 -> 33.5 (fewer z flushes, amortised grid steps).
+    # ct=256 loses: the chunk floor forces the window auto-pick down.
+    # dd kernels carry ~4x the ops per tile — keep their tested 32/32
+    # geometry so the Mosaic compile stays tractable (DESIGN.md).
+    if group_hacks is None:
+        group_hacks = 32 if (is_dd or num_hacks < 128) else 128
+    if chunk_tiles is None:
+        est_tiles = max(1, coo.nnz // 1024)
+        chunk_tiles = (32 if is_dd else
+                       128 if est_tiles >= 1024 else
+                       64 if est_tiles >= 256 else 32)
+    _GROUPv = group_hacks
+    _CTv = chunk_tiles
+    num_groups = -(-num_hacks // _GROUPv)
     num_pages = max(-(-coo.n_cols // 128), 1)
     m = coo.nnz
 
     if m == 0:
-        total = num_groups * _CT * 8
+        total = num_groups * _CTv * 8
         import jax.numpy as jnp
 
         w = window_pages or 8
@@ -61,6 +77,7 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
             n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
             num_groups=num_groups, total_slots=total, nnz=0,
             x_pages=max(num_pages, w), window_pages=w,
+            group_hacks=_GROUPv, chunk_tiles=_CTv,
         )
 
     hack = (coo.rows // _HACK).astype(np.int64)
@@ -106,9 +123,9 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
                 np.asarray(tile_d0_l, dtype=np.int64))
 
     def padded_tiles(tile_hack_a):
-        tg = tile_hack_a // _GROUP
+        tg = tile_hack_a // _GROUPv
         raw = np.bincount(tg, minlength=num_groups)
-        return int(np.maximum(-(-raw // _CT) * _CT, _CT).sum())
+        return int(np.maximum(-(-raw // _CTv) * _CTv, _CTv).sum())
 
     if window_pages is None:
         best = None
@@ -128,9 +145,9 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
     n_raw_tiles = tile_hack_a.size
 
     # --- group hacks by 8; pad each group's tiles to whole chunks -------
-    tile_group = tile_hack_a // _GROUP
+    tile_group = tile_hack_a // _GROUPv
     raw_tiles_per_group = np.bincount(tile_group, minlength=num_groups)
-    pad_tiles_per_group = np.maximum(-(-raw_tiles_per_group // _CT) * _CT, _CT)
+    pad_tiles_per_group = np.maximum(-(-raw_tiles_per_group // _CTv) * _CTv, _CTv)
     group_tile_base = _excl_cumsum(pad_tiles_per_group)
     num_tiles = int(pad_tiles_per_group.sum())
     total_slots = num_tiles * 8
@@ -146,12 +163,12 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
     tile_base = np.zeros(num_tiles, dtype=np.int32)
     tile_base[tile_final] = tb_raw.astype(np.int32)
     tile_hh = np.zeros(num_tiles, dtype=np.int32)
-    tile_hh[tile_final] = (tile_hack_a % _GROUP).astype(np.int32)
+    tile_hh[tile_final] = (tile_hack_a % _GROUPv).astype(np.int32)
     # pack hh above the base page: one SMEM word per tile (same budget
     # fix as WHELL; hh < 32 needs 5 bits, base page <= 15 bits)
     tile_meta = (tile_base | (tile_hh << 16)).astype(np.int32)
     chunk_group = np.repeat(np.arange(num_groups, dtype=np.int32),
-                            pad_tiles_per_group // _CT)
+                            pad_tiles_per_group // _CTv)
 
     # --- per-slot r0; scatter values ------------------------------------
     slot_final = tile_final[tile_of_slot] * 8 + pos_of_slot
@@ -180,4 +197,5 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None) -> WhdiaMatrix:
         n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
         num_groups=num_groups, total_slots=total_slots, nnz=m,
         x_pages=x_pages, window_pages=w,
+        group_hacks=_GROUPv, chunk_tiles=_CTv,
     )

@@ -159,16 +159,34 @@ def coo_to_whell(
                                 n_cols=ar.n_cols, orig_rows=coo.n_rows,
                                 nnz=coo.nnz)
         # measured geometry sweet spot on the 262k-row FEM profile
-        # (chip sweep, BASELINE.md): 32-page windows, 32-hack groups,
-        # 64-tile chunks -> pad 3.0x (vs 5.9x classic), 29.1 GFLOPS
-        # (vs 17.0 classic).  dd kernels unroll ~4x more ops per tile,
-        # so their chunks stay at 16 tiles to keep the Mosaic compile
-        # tractable (DESIGN.md compile-time notes).
+        # (chip sweep, BASELINE.md / doc/DESIGN.md): 32-page windows,
+        # 128-hack groups, 256-tile chunks -> pad 2.47x (vs 5.9x
+        # classic), 41.0 GFLOPS (vs 17.0 classic).  Bigger groups mean
+        # fewer z flushes and less chunk-floor waste; bigger chunks
+        # amortise the per-grid-step overhead.  Small matrices scale the
+        # geometry down so the per-group chunk floor (>= ct tiles of
+        # 1024 cells each) doesn't dominate storage.  dd kernels unroll
+        # ~4x more ops per tile, so their chunks stay at 16 tiles to
+        # keep the Mosaic compile tractable (DESIGN.md compile-time
+        # notes).
         is_dd_vals = np.dtype(
             coo.values.dtype if dtype is None else dtype) == np.float64
+        est_tiles = max(1, coo.nnz // 1024)
+        if is_dd_vals:
+            ct = 16
+        elif est_tiles >= 2048:
+            ct = 256
+        elif est_tiles >= 512:
+            ct = 128
+        elif est_tiles >= 128:
+            ct = 64
+        else:
+            ct = 32
+        num_hacks = -(-coo.n_rows // 128)
+        gh = 128 if (num_hacks >= 128 and not is_dd_vals) else 32
         return _coo_to_whell_packed(coo, window_pages or 32, lane_capacity,
-                                    dtype, group_hacks=32,
-                                    chunk_tiles=16 if is_dd_vals else 64,
+                                    dtype, group_hacks=gh,
+                                    chunk_tiles=ct,
                                     panel_x_bytes=panel_x_bytes,
                                     return_plan=return_plan)
     window_pages = window_pages or 8

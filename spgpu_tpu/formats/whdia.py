@@ -41,7 +41,6 @@ from typing import Optional
 import jax
 import numpy as np
 
-from spgpu_tpu.core import WHDIA_CHUNK_TILES as _CT
 
 
 @jax.tree_util.register_dataclass
@@ -73,9 +72,12 @@ class WhdiaMatrix:
     #: low fp32 words of a double-float (fp64) value slab — D-precision
     #: parity with the reference's hdia_dspmv (TPU has no fp64 ALU)
     values_lo: Optional[jax.Array] = None
+    #: hacks per output z block / tiles per grid chunk (geometry knobs,
+    #: as in packed WHELL)
+    group_hacks: int = dataclasses.field(default=32, metadata=dict(static=True))
+    chunk_tiles: int = dataclasses.field(default=32, metadata=dict(static=True))
 
     hack_size = 128
-    group_hacks = 32
 
     @property
     def shape(self):
@@ -124,7 +126,7 @@ class WhdiaMatrix:
             if not (v != 0).any():
                 continue
             t = s // 8
-            hack = cg[t // _CT] * self.group_hacks + hh[t]
+            hack = cg[t // self.chunk_tiles] * self.group_hacks + hh[t]
             row = hack * 128 + lane
             col = tb[t] * 128 + r0[s] + lane
             ok = (v != 0) & (row < self.n_rows) & (col >= 0) & (col < self.n_cols)

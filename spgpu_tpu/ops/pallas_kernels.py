@@ -712,7 +712,8 @@ def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
 
 
 def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
-                  x_hbm_ref, z_ref, x_vmem, xsem, *, window_pages):
+                  x_hbm_ref, z_ref, x_vmem, xsem, *, window_pages,
+                  chunk_tiles=_WHDIA_CT):
     """WHDIA SpMV: near-values-only traffic.  Each slot's x window is the
     contiguous rotation x[h*128 + d + lane]; both gather index sets are
     reconstructed arithmetically from r0 (see formats/whdia.py), which is
@@ -736,8 +737,8 @@ def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
         z_ref[:] = jnp.zeros_like(z_ref)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    for k in range(_WHDIA_CT):
-        t = c * _WHDIA_CT + k
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
         meta = tmeta_ref[t]  # base page | hack-in-group << 16
         base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
         r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
@@ -767,21 +768,23 @@ def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
         z_ref[pl.ds(hh, 1), :, :] += contrib[None]
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "window_pages", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles", "group_hacks", "interpret"))
 def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
                      x2d, *, num_tiles, num_groups, x_pages,
-                     window_pages=8, interpret=False):
-    num_chunks = num_tiles // _WHDIA_CT
+                     window_pages=8, chunk_tiles=_WHDIA_CT, group_hacks=32,
+                     interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
-            (32, 8, 128), lambda c, tm, cg: (cg[c], 0, 0)
+            (gh, 8, 128), lambda c, tm, cg: (cg[c], 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((x_pages, 128), values.dtype),
@@ -789,9 +792,10 @@ def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
         ],
     )
     acc = pl.pallas_call(
-        functools.partial(_whdia_kernel, window_pages=window_pages),
+        functools.partial(_whdia_kernel, window_pages=window_pages,
+                          chunk_tiles=ct),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_groups * 32, 8, 128), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_groups * gh, 8, 128), values.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128,
@@ -810,7 +814,8 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     z = _whdia_spmv_call(
         a.values, a.slot_r0, a.tile_base, a.chunk_group, x2d,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
-        window_pages=a.window_pages, interpret=interpret,
+        window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
+        group_hacks=a.group_hacks, interpret=interpret,
     )
     acc = z.reshape(-1)[: a.n_rows]
     is_zero = isinstance(beta, (int, float)) and beta == 0
@@ -821,7 +826,7 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
 
 def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
                      x_hbm_ref, z_ref, x_vmem, xsem, *, window_pages,
-                     interpret):
+                     chunk_tiles, interpret):
     """Double-float WHDIA SpMV (D-precision parity with hdia_dspmv.cu).
 
     Same index arithmetic as :func:`_whdia_kernel`; values and x are
@@ -851,8 +856,8 @@ def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
             z_ref[:] = jnp.zeros_like(z_ref)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        for k in range(_WHDIA_CT):
-            t = c * _WHDIA_CT + k
+        for k in range(chunk_tiles):
+            t = c * chunk_tiles + k
             meta = tmeta_ref[t]
             base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
             r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
@@ -892,22 +897,25 @@ def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_tiles", "num_groups", "x_pages", "window_pages", "interpret"))
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "interpret"))
 def _whdia_dd_call(values, values_lo, slot_r0, tile_base, chunk_group,
                    x3d, *, num_tiles, num_groups, x_pages,
-                   window_pages=8, interpret=False):
-    num_chunks = num_tiles // _WHDIA_CT
+                   window_pages=8, chunk_tiles=_WHDIA_CT, group_hacks=32,
+                   interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((_WHDIA_CT * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, pages, 128)
         ],
         out_specs=pl.BlockSpec(
-            (2, 32, 8, 128), lambda c, tm, cg: (0, cg[c], 0, 0)
+            (2, gh, 8, 128), lambda c, tm, cg: (0, cg[c], 0, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, x_pages, 128), jnp.float32),
@@ -916,10 +924,10 @@ def _whdia_dd_call(values, values_lo, slot_r0, tile_base, chunk_group,
     )
     acc = pl.pallas_call(
         functools.partial(_whdia_dd_kernel, window_pages=window_pages,
-                          interpret=interpret),
+                          chunk_tiles=ct, interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (2, num_groups * 32, 8, 128), jnp.float32),
+            (2, num_groups * gh, 8, 128), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=30 * num_tiles * 8 * 128,
@@ -947,7 +955,8 @@ def whdia_spmv_dd_pallas(a, x_pair, interpret: bool = False):
     z = _whdia_dd_call(
         a.values, a.values_lo, a.slot_r0, a.tile_base, a.chunk_group, x3d,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
-        window_pages=a.window_pages, interpret=interpret,
+        window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
+        group_hacks=a.group_hacks, interpret=interpret,
     )
     return z.reshape(2, -1)[:, : a.n_rows]
 
