@@ -11,7 +11,11 @@ Measurement mechanics, learned the hard way on the axon TPU backend:
 * the timed loop is one jitted ``lax.fori_loop`` whose carry chains each
   SpMV into the next — independent dispatches only measure queue depth;
 * ``block_until_ready`` does NOT synchronise on the axon tunnel — the
-  only honest fence is a device→host readback (``float(result.sum())``).
+  only honest fence is a device→host readback (``float(result.sum())``);
+* every jitted CALL costs ~30 ms of tunnel round trips, so the loop is
+  timed at two lengths and ``T(N) = C + N*t`` solved for ``t``
+  (``utils/timing.chained_time``) — at a single N=200 the overhead
+  still inflated sub-ms kernels ~2x.
 
 Prints ONE JSON line:
 ``{"metric": ..., "value": GFLOPS, "unit": "GFLOP/s", "vs_baseline": f}``
@@ -27,7 +31,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -63,26 +66,18 @@ def main():
     def spmv(a, x):
         return whell_spmv(a, x)
 
-    @jax.jit
-    def timed(a, x0):
-        def body(_, c):
-            return whell_spmv(a, c) * scale
-
-        # reduce to a scalar INSIDE jit: the host fence then reads 4
-        # bytes, not the whole vector (the tunnel readback of a 1 MB
-        # result measures ~50 ms — it was half the apparent SpMV time)
-        return jax.lax.fori_loop(0, iters, body, x0).sum()
-
     # warm-up + checksum (hellPerf.cpp:209-234)
     z = spmv(a, x)
     checksum = float(dot(z, z))
-    float(timed(a, x))  # compile + full execution fence
 
-    t = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        s = float(timed(a, x))
-        t = min(t, (time.perf_counter() - t0) / iters)
+    # chained fori loop, 4-byte scalar fence, and two-point overhead
+    # extrapolation: the axon runtime charges ~30 ms per jitted call,
+    # which at 200 in-loop iterations still inflated every sub-ms
+    # kernel time ~2x (utils/timing.chained_time, DESIGN.md §5)
+    from spgpu_tpu.utils.timing import chained_time
+
+    t, overhead = chained_time(lambda c: whell_spmv(a, c) * scale, x,
+                               iters_lo=iters, iters_hi=10 * iters)
 
     gflops = (2.0 * nnz - 1.0) / t * 1e-9
     # actual traffic: value slab + int8 residue/page-table slabs + x + z.
@@ -98,8 +93,8 @@ def main():
     print(
         f"device={dev.device_kind} n={n} nnz={nnz} pad={a.values.size/nnz:.2f} "
         f"storage={a.storage_bytes}B checksum={checksum:.6e} "
-        f"t_avg={t*1e3:.3f}ms eff_bw={bytes_moved/t/1e9:.1f}GB/s "
-        f"roofline_frac={vs:.3f}",
+        f"t_avg={t*1e3:.3f}ms call_overhead={overhead*1e3:.1f}ms "
+        f"eff_bw={bytes_moved/t/1e9:.1f}GB/s roofline_frac={vs:.3f}",
         file=sys.stderr,
     )
     print(

@@ -45,30 +45,19 @@ class BenchResult:
 
 
 def _time_chained(spmv: Callable, a, x, iters: int) -> float:
-    """One jitted chained loop; 4-byte scalar fence.  ``iters`` must be
-    large (~200) on the axon runtime: each call pays a ~25-30 ms tunnel
-    round trip that only amortises across the in-loop iterations."""
-    import jax
+    """Chained-loop device time per SpMV, dispatch overhead subtracted.
+
+    The axon runtime charges ~30 ms per jitted CALL (tunnel round
+    trips); :func:`spgpu_tpu.utils.timing.chained_time` removes it by
+    timing two loop lengths and extrapolating.  ``iters`` is the short
+    length; the long one is 10x."""
     import jax.numpy as jnp
 
+    from spgpu_tpu.utils.timing import chained_time
+
     scale = jnp.asarray(1e-3, x.dtype)
-
-    @jax.jit
-    def timed(a, x0):
-        def body(_, c):
-            return spmv(a, c) * scale
-
-        # scalar reduction inside jit: the host fence reads 4 bytes,
-        # not the result vector (tunnel readback is ~20-100 MB/s and
-        # would dominate the apparent kernel time)
-        return jax.lax.fori_loop(0, iters, body, x0).sum()
-
-    float(timed(a, x))  # compile + execute fence
-    t = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(timed(a, x))
-        t = min(t, (time.perf_counter() - t0) / iters)
+    t, _ = chained_time(lambda c: spmv(a, c) * scale, x,
+                        iters_lo=iters, iters_hi=10 * iters)
     return t
 
 
@@ -250,20 +239,11 @@ def run_blas1_suite(n: int, iters: int = 200):
                   3 * n * 4),
         "nrm2": (lambda u, v: u * (blas1.nrm2(u) * 1e-9), n * 4),
     }
+    from spgpu_tpu.utils.timing import chained_time
+
     for name, (op, bytes_per) in cases.items():
-        @jax.jit
-        def timed(u, v, op=op):
-            def body(_, c):
-                return op(c, v)
-
-            return jax.lax.fori_loop(0, iters, body, u).sum()
-
-        float(timed(x, y))
-        t = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(timed(x, y))
-            t = min(t, (time.perf_counter() - t0) / iters)
+        t, _ = chained_time(lambda c, op=op: op(c, y), x,
+                            iters_lo=iters, iters_hi=10 * iters)
         rows.append({
             "config": "blas1", "op": name, "n": n,
             "t_avg_s": round(t, 9),

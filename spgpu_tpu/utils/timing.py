@@ -14,7 +14,49 @@ from typing import Callable, Optional
 
 import jax
 
-__all__ = ["Clock", "benchmark_op", "BenchResult"]
+__all__ = ["Clock", "benchmark_op", "BenchResult", "chained_time"]
+
+
+def chained_time(step, carry0, iters_lo: int = 200, iters_hi: int = 2000,
+                 reps: int = 3):
+    """Seconds/iteration of ``carry = step(carry)`` on-device, with the
+    per-call dispatch overhead subtracted by two-point extrapolation.
+
+    The axon TPU runtime charges a large fixed cost per jitted call
+    (~30 ms measured — tunnel round trips + sync), so a single timed
+    loop of N iterations reports ``t_iter + C/N``: at N=200 that
+    overstated every kernel time by ~0.15 ms (~2x on sub-ms kernels)
+    until a bandwidth probe exposed it (doc/DESIGN.md §5).  Model
+    ``T(N) = C + N * t_iter`` and solve from two N:
+
+        t_iter = (T_hi - T_lo) / (iters_hi - iters_lo)
+
+    The loop chains each step's output into the next (independent
+    dispatches only measure queue depth) and fences through a 4-byte
+    scalar readback (``block_until_ready`` does not fence here, and a
+    vector readback would measure the ~20-100 MB/s tunnel instead).
+
+    Returns ``(t_iter, overhead_per_call)``.
+    """
+    import jax
+
+    @jax.jit
+    def timed(c0, it):
+        return jax.lax.fori_loop(0, it, lambda _, c: step(c), c0).sum()
+
+    T = {}
+    for it in (iters_lo, iters_hi):
+        float(timed(carry0, it))  # compile + full execution fence
+        t = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(timed(carry0, it))
+            t = min(t, time.perf_counter() - t0)
+        T[it] = t
+    t_iter = (T[iters_hi] - T[iters_lo]) / (iters_hi - iters_lo)
+    if t_iter <= 0:  # timing noise on tiny configs: fall back to hi run
+        t_iter = T[iters_hi] / iters_hi
+    return t_iter, max(T[iters_lo] - iters_lo * t_iter, 0.0)
 
 
 class Clock:
