@@ -203,9 +203,12 @@ def run_suite(size: str = "small", out=print):
     emit(_run_spmm8(fem_s, out=None))
 
     # -- BLAS-1 roofline rows (dot / axpby / nrm2; reference measures dot
-    # in every harness, hellPerf.cpp:234) --------------------------------
-    for r in run_blas1_suite(n=(1 << 22) if big else (1 << 16),
-                             iters=200 if big else 5):
+    # in every harness, hellPerf.cpp:234).  n on chip is sized so the
+    # working set exceeds VMEM: at <=16 MB/vector XLA keeps the chained
+    # loop carry VMEM-resident and "bandwidth" reads 1.7-7 TB/s — a real
+    # effect (measured, BASELINE.md) but not an HBM roofline row.
+    for r in run_blas1_suite(n=(1 << 26) if big else (1 << 16),
+                             iters=50 if big else 5):
         results.append(r)
         out(json.dumps(r))
 
