@@ -76,7 +76,7 @@ def main():
     # kernel time ~2x (utils/timing.chained_time, DESIGN.md §5)
     from spgpu_tpu.utils.timing import chained_time
 
-    t, overhead = chained_time(lambda c: whell_spmv(a, c) * scale, x,
+    t, overhead = chained_time(lambda c, a: whell_spmv(a, c) * scale, x, a,
                                iters_lo=iters, iters_hi=10 * iters)
 
     gflops = (2.0 * nnz - 1.0) / t * 1e-9

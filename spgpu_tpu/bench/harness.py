@@ -56,7 +56,7 @@ def _time_chained(spmv: Callable, a, x, iters: int) -> float:
     from spgpu_tpu.utils.timing import chained_time
 
     scale = jnp.asarray(1e-3, x.dtype)
-    t, _ = chained_time(lambda c: spmv(a, c) * scale, x,
+    t, _ = chained_time(lambda c, a: spmv(a, c) * scale, x, a,
                         iters_lo=iters, iters_hi=10 * iters)
     return t
 
@@ -245,7 +245,7 @@ def run_blas1_suite(n: int, iters: int = 200):
     from spgpu_tpu.utils.timing import chained_time
 
     for name, (op, bytes_per) in cases.items():
-        t, _ = chained_time(lambda c, op=op: op(c, y), x,
+        t, _ = chained_time(lambda c, v, op=op: op(c, v), x, y,
                             iters_lo=iters, iters_hi=10 * iters)
         rows.append({
             "config": "blas1", "op": name, "n": n,

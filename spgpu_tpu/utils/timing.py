@@ -17,8 +17,8 @@ import jax
 __all__ = ["Clock", "benchmark_op", "BenchResult", "chained_time"]
 
 
-def chained_time(step, carry0, iters_lo: int = 200, iters_hi: int = 2000,
-                 reps: int = 3):
+def chained_time(step, carry0, *step_args, iters_lo: int = 200,
+                 iters_hi: int = 2000, reps: int = 3):
     """Seconds/iteration of ``carry = step(carry)`` on-device, with the
     per-call dispatch overhead subtracted by two-point extrapolation.
 
@@ -36,21 +36,27 @@ def chained_time(step, carry0, iters_lo: int = 200, iters_hi: int = 2000,
     scalar readback (``block_until_ready`` does not fence here, and a
     vector readback would measure the ~20-100 MB/s tunnel instead).
 
+    Large device operands the step reads (matrices, second vectors)
+    must be passed via ``step_args`` — ``step(carry, *step_args)`` —
+    not closure-captured: a captured jnp array is baked into the HLO
+    as a literal and shipped with the (relayed) compile request.
+
     Returns ``(t_iter, overhead_per_call)``.
     """
     import jax
 
     @jax.jit
-    def timed(c0, it):
-        return jax.lax.fori_loop(0, it, lambda _, c: step(c), c0).sum()
+    def timed(c0, it, *args):
+        return jax.lax.fori_loop(
+            0, it, lambda _, c: step(c, *args), c0).sum()
 
     T = {}
     for it in (iters_lo, iters_hi):
-        float(timed(carry0, it))  # compile + full execution fence
+        float(timed(carry0, it, *step_args))  # compile + execution fence
         t = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(timed(carry0, it))
+            float(timed(carry0, it, *step_args))
             t = min(t, time.perf_counter() - t0)
         T[it] = t
     t_iter = (T[iters_hi] - T[iters_lo]) / (iters_hi - iters_lo)
