@@ -91,6 +91,7 @@ def coo_to_whell(
     window_pages: Optional[int] = None,
     lane_capacity: Optional[float] = None,
     panel_x_bytes: Optional[int] = None,
+    scattered: Optional[bool] = None,
 ):
     """Build a :class:`WhellMatrix` from host COO triples.
 
@@ -151,10 +152,12 @@ def coo_to_whell(
                            coo.n_rows, coo.n_cols)
             ar = coo_to_whell(re, packed=True, window_pages=window_pages,
                               lane_capacity=lane_capacity,
-                              panel_x_bytes=panel_x_bytes)
+                              panel_x_bytes=panel_x_bytes,
+                              scattered=scattered)
             ai = coo_to_whell(im, packed=True, window_pages=window_pages,
                               lane_capacity=lane_capacity,
-                              panel_x_bytes=panel_x_bytes)
+                              panel_x_bytes=panel_x_bytes,
+                              scattered=scattered)
             return WhellComplex(ar=ar, ai=ai, n_rows=ar.n_rows,
                                 n_cols=ar.n_cols, orig_rows=coo.n_rows,
                                 nnz=coo.nnz)
@@ -184,11 +187,14 @@ def coo_to_whell(
             ct = 32
         num_hacks = -(-coo.n_rows // 128)
         gh = 128 if (num_hacks >= 128 and not is_dd_vals) else 32
+        if scattered is None:
+            scattered = not is_dd_vals  # dd kernels keep aligned windows
         return _coo_to_whell_packed(coo, window_pages or 32, lane_capacity,
                                     dtype, group_hacks=gh,
                                     chunk_tiles=ct,
                                     panel_x_bytes=panel_x_bytes,
-                                    return_plan=return_plan)
+                                    return_plan=return_plan,
+                                    scattered=scattered)
     window_pages = window_pages or 8
     if window_pages != 8:
         raise ValueError("window_pages > 8 requires packed=True")
@@ -381,6 +387,8 @@ def _coo_to_whell_packed(
     chunk_tiles: int = 32,
     panel_x_bytes: Optional[int] = None,
     return_plan: bool = False,
+    scattered: bool = False,
+    supers_per_tile: int = 8,
 ) -> WhellMatrix:
     """Packed-lane WHELL builder (see :func:`coo_to_whell` docstring).
 
@@ -402,6 +410,9 @@ def _coo_to_whell_packed(
     # fp64 values -> double-float slabs (hi/lo fp32 pairs, ops/dd.py);
     # the slab is built in float64 and split after the scatter
     is_dd = np.dtype(vals_in.dtype) == np.float64
+    if scattered and is_dd:
+        raise ValueError("scattered windows are not yet supported for dd "
+                         "(float64) value slabs; pass scattered=False")
     val_dtype = np.dtype(np.float64) if is_dd else vals_in.dtype
 
     deg = coo.row_lengths().astype(np.int64)
@@ -439,7 +450,11 @@ def _coo_to_whell_packed(
 
     gh, ct = group_hacks, chunk_tiles
     n_lane = num_hacks * _HACK
-    x_pages = max(-(-num_hacks // w) * w, w)
+    if scattered:
+        # scattered windows: x only needs superpage (8-page) alignment
+        x_pages = max(-(-num_hacks // 8) * 8, 8)
+    else:
+        x_pages = max(-(-num_hacks // w) * w, w)
     num_groups = -(-num_hacks // gh)
 
     import jax.numpy as jnp
@@ -468,7 +483,7 @@ def _coo_to_whell_packed(
                 total_slots=total, nnz=0, x_pages=x_pages,
                 seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
                 lane_of_row=jnp.asarray(lane_of_row),
-                window_pages=w, orig_rows=n,
+                window_pages=8 if scattered else w, orig_rows=n,
                 group_hacks=gh, chunk_tiles=ct,
             ), (e, e, e)
         return WhellMatrix(
@@ -485,14 +500,49 @@ def _coo_to_whell_packed(
             x_pages=x_pages,
             seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
             lane_of_row=jnp.asarray(lane_of_row),
-            window_pages=w, orig_rows=n,
+            window_pages=8 if scattered else w, orig_rows=n,
             group_hacks=gh, chunk_tiles=ct,
         )
 
     cols_l32 = lane_of_row[coo.cols]  # int32, lane-space columns
     nwin = x_pages // w
     hack = hack_of_row[coo.rows]
-    G = hack * nwin + (cols_l32.astype(np.int64) >> 7) // w
+    x_entry_bytes = 8 if is_dd else 4  # dd stages both planes
+    budget = panel_x_bytes or _PANEL_X_BYTES
+    if scattered:
+        # --- scattered-window grouping -------------------------------
+        # A group's x window is a SET of up to K independently-based
+        # superpages (8 aligned pages each), not one contiguous aligned
+        # window: rank each hack's touched superpages and bin ranks by
+        # K.  A hack whose columns cluster locally AND hit a far hub
+        # block then needs ONE group instead of one per aligned window
+        # — the W->tile rounding waste collapses (doc/DESIGN.md §2d).
+        K = supers_per_tile
+        nsup_tot = x_pages // 8
+        budget_pages = max((budget // (128 * x_entry_bytes)) // 8, 1) * 8
+        sup_per_panel = budget_pages // 8
+        n_panels = max(-(-nsup_tot // sup_per_panel), 1) \
+            if x_pages > budget_pages else 1
+        page_e = cols_l32.astype(np.int64) >> 7
+        sup_e = page_e >> 3
+        panel_e = sup_e // sup_per_panel if n_panels > 1 else 0
+        hp_e = hack * n_panels + panel_e
+        ukey = hp_e * nsup_tot + sup_e
+        uk, inv = np.unique(ukey, return_inverse=True)
+        u_hp = uk // nsup_tot
+        first = np.r_[True, u_hp[1:] != u_hp[:-1]]
+        starts = np.flatnonzero(first)
+        rank_u = (np.arange(uk.size)
+                  - np.repeat(starts, np.diff(np.r_[starts, uk.size])))
+        maxbins = int(rank_u.max()) // K + 1
+        G_u = u_hp * maxbins + rank_u // K
+        tbl_u = rank_u % K
+        G = G_u[inv]
+        dlt8 = (tbl_u[inv] * 8 + (page_e & 7)).astype(np.int8)
+        sup_u = uk % nsup_tot
+        panel_u = u_hp % n_panels
+    else:
+        G = hack * nwin + (cols_l32.astype(np.int64) >> 7) // w
 
     # entries must sort by (G, row, col).  A full 3-key lexsort costs 3
     # stable passes (~9 s at 12M nnz); instead canonicalise to (row,
@@ -508,8 +558,12 @@ def _coo_to_whell_packed(
                          kind="stable")
         order = pre[np.argsort(G[pre], kind="stable")]
 
-    nat = _native.whell_gather_assign(
-        order, coo.rows, cols_l32, d, lane_start, hack_of_row, nwin, w)
+    if scattered:
+        nat = _native.whell_gather_assign2(
+            order, coo.rows, cols_l32, d, lane_start, G, dlt8)
+    else:
+        nat = _native.whell_gather_assign(
+            order, coo.rows, cols_l32, d, lane_start, hack_of_row, nwin, w)
     if nat is not None:
         # fused gather + first-fit + group widths (one C++ pass)
         _ng, k, vlane, res_s, del_s, g_id, W, g_G = nat
@@ -518,7 +572,8 @@ def _coo_to_whell_packed(
         rows_s = coo.rows[order]
         cl_s = cols_l32[order].astype(np.int64)
         res_s = (cl_s & 127).astype(np.int8)
-        del_s = ((cl_s >> 7) % w).astype(np.int8)
+        del_s = (dlt8[order] if scattered
+                 else ((cl_s >> 7) % w).astype(np.int8))
         dr = d[rows_s]
         # NumPy fallback: round-robin slots, bump whole-row conflicts to
         # fresh slots (lanes of different rows are disjoint so only
@@ -574,15 +629,26 @@ def _coo_to_whell_packed(
     seg_hi_j = jnp.asarray(seg_hi)
     lane_of_row_j = jnp.asarray(lane_of_row)
 
+    bases_full = None
+    if scattered:
+        # per-layout-group superpage base table: group g's table j holds
+        # the (panel-relative) first page of its j-th ranked superpage
+        gI = np.searchsorted(g_G, G_u)
+        bases_full = np.zeros((g_G.size, K), np.int32)
+        bases_full[gI, tbl_u] = (
+            sup_u * 8 - panel_u * sup_per_panel * 8).astype(np.int32)
+
     def build_panel(gsel, win_off, pages_p, cols_p):
         """Build one column panel's WhellMatrix from the group subset
         ``gsel`` (its windows shifted by ``win_off``).  Shares the lane
         space / seg slabs with every other panel; per-panel products sum
         (the segment flush is linear in the accumulated values)."""
+        bases_p = None
         if gsel is None:  # single panel: no subset copies
             k_p, vlane_p, res_p, del_p, gid_p = k, vlane, res_s, del_s, g_id
             W_p, gG_p = W, g_G
             v_p = vals_sorted
+            bases_p = bases_full
         else:
             esel = gsel[g_id]
             k_p = k[esel]
@@ -594,12 +660,20 @@ def _coo_to_whell_packed(
             W_p = W[gsel]
             gG_p = g_G[gsel]
             v_p = vals_sorted[esel]
+            if bases_full is not None:
+                bases_p = bases_full[gsel]
         if W_p.size == 0:
             W_p = np.zeros(1, np.int64)
             gG_p = np.zeros(1, np.int64)
+            if scattered:
+                bases_p = np.zeros((1, K), np.int32)
         W8 = -(-W_p // 8) * 8
-        g_hack = gG_p // nwin
-        g_win = gG_p % nwin - win_off
+        if scattered:
+            g_hack = gG_p // maxbins // n_panels
+            g_meta = np.arange(W_p.size, dtype=np.int64)  # local group idx
+        else:
+            g_hack = gG_p // nwin
+            g_win = gG_p % nwin - win_off
 
         raw_tiles_per_grp = W8 // 8
         hack8 = g_hack // gh
@@ -633,10 +707,13 @@ def _coo_to_whell_packed(
             np.arange(int(raw_tiles_per_grp.sum()))
             - np.repeat(_excl_cumsum(raw_tiles_per_grp), raw_tiles_per_grp))
         tile_base[g_tiles_idx] = np.repeat(
-            (g_win * w).astype(np.int32), raw_tiles_per_grp)
+            (g_meta if scattered else g_win * w).astype(np.int32),
+            raw_tiles_per_grp)
         tile_hh[g_tiles_idx] = np.repeat(
             (g_hack % gh).astype(np.int32), raw_tiles_per_grp)
-        tile_meta = (tile_base | (tile_hh << 16)).astype(np.int32)
+        # scattered meta: layout-group index (20 bits) | hack-in-group
+        tile_meta = (tile_base
+                     | (tile_hh << (20 if scattered else 16))).astype(np.int32)
         # trailing -1 sentinel: the kernel flushes a group when
         # chunk_group[c+1] differs (last chunk included via the sentinel)
         chunk_group = np.r_[
@@ -659,15 +736,17 @@ def _coo_to_whell_packed(
             x_pages=pages_p,
             seg_lo=seg_lo_j, seg_hi=seg_hi_j,
             lane_of_row=lane_of_row_j,
-            window_pages=w, orig_rows=n,
+            group_bases=(None if bases_p is None
+                         else jnp.asarray(np.ascontiguousarray(
+                             bases_p.reshape(-1)))),
+            window_pages=8 * K if scattered else w, orig_rows=n,
             group_hacks=gh, chunk_tiles=ct,
         )
         return mat, slot, vlane_p
 
     # --- column panels: x must fit the persistent VMEM scratch ----------
-    x_entry_bytes = 8 if is_dd else 4  # dd stages both planes
-    budget = panel_x_bytes or _PANEL_X_BYTES
-    budget_pages = max((budget // (128 * x_entry_bytes)) // w, 1) * w
+    if not scattered:
+        budget_pages = max((budget // (128 * x_entry_bytes)) // w, 1) * w
     if x_pages <= budget_pages:
         mat, slot, vlane_s = build_panel(None, 0, x_pages, n_lane)
         if not return_plan:
@@ -681,19 +760,30 @@ def _coo_to_whell_packed(
         plan_lane[order] = vlane_s
         return mat, (plan_panel, plan_slot, plan_lane)
 
-    wins_per_panel = budget_pages // w
-    g_win_all = g_G % nwin
-    n_panels = -(-nwin // wins_per_panel)
     panels = []
     plan_panel = np.empty(m, np.int64)
     plan_slot = np.empty(m, np.int64)
     plan_lane = np.empty(m, np.int64)
-    for p in range(n_panels):
-        w0 = p * wins_per_panel
-        w1 = min((p + 1) * wins_per_panel, nwin)
-        gsel = (g_win_all >= w0) & (g_win_all < w1)
-        pages_p = (w1 - w0) * w
-        cols_p = min(pages_p * 128, n_lane - w0 * w * 128)
+    if scattered:
+        panel_of_group = (g_G // maxbins) % n_panels
+        panel_iter = []
+        for p in range(n_panels):
+            pages_p = min(sup_per_panel * 8, x_pages - p * sup_per_panel * 8)
+            cols_p = min(pages_p * 128, n_lane - p * sup_per_panel * 8 * 128)
+            panel_iter.append((panel_of_group == p, 0, pages_p, cols_p))
+    else:
+        wins_per_panel = budget_pages // w
+        g_win_all = g_G % nwin
+        n_panels = -(-nwin // wins_per_panel)
+        panel_iter = []
+        for p in range(n_panels):
+            w0 = p * wins_per_panel
+            w1 = min((p + 1) * wins_per_panel, nwin)
+            gsel = (g_win_all >= w0) & (g_win_all < w1)
+            pages_p = (w1 - w0) * w
+            cols_p = min(pages_p * 128, n_lane - w0 * w * 128)
+            panel_iter.append((gsel, w0, pages_p, cols_p))
+    for p, (gsel, w0, pages_p, cols_p) in enumerate(panel_iter):
         mat, slot, vlane_s = build_panel(gsel, w0, pages_p, cols_p)
         panels.append(mat)
         if return_plan:

@@ -95,6 +95,14 @@ class WhellMatrix:
     #: reference ships D-precision natively (hell_dspmv.cu:28-33); TPU
     #: v5e has no fp64 ALU so D is two fp32 slabs.
     values_lo: Optional[jax.Array] = None
+    #: scattered-window mode (packed only): flattened (layout_groups, K)
+    #: int32 table of per-group superpage base pages, K = window_pages/8.
+    #: Each layout group's x window is a SET of K independently-based
+    #: aligned 8-page superpages (instead of one contiguous aligned
+    #: window), so a hack's local cluster AND its far/hub columns share
+    #: one group — the grouping that cuts the padding (doc/DESIGN.md).
+    #: ``tile_base`` then packs ``layout_group | hack_in_group << 20``.
+    group_bases: Optional[jax.Array] = None
     #: pages per tile window (8 classic; 16/32 via in-kernel window select)
     window_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
     #: original square dimension before lane-space embedding (packed only)
@@ -156,6 +164,8 @@ class WhellMatrix:
             n += self.lane_of_row.size * 4
         if self.values_lo is not None:
             n += self.values_lo.size * self.values_lo.dtype.itemsize
+        if self.group_bases is not None:
+            n += self.group_bases.size * 4
         return int(n)
 
     def to_dense(self) -> np.ndarray:
@@ -170,8 +180,14 @@ class WhellMatrix:
         res = np.asarray(self.residue).astype(np.int64)
         pt = np.asarray(self.page_tab).astype(np.int64)
         meta = np.asarray(self.tile_base).astype(np.int64)
-        tb = meta & 0xFFFF
-        hh = meta >> 16
+        if self.group_bases is not None:
+            gi = meta & 0xFFFFF
+            hh = meta >> 20
+            gbase = np.asarray(self.group_bases).astype(np.int64)
+            K = self.window_pages // 8
+        else:
+            tb = meta & 0xFFFF
+            hh = meta >> 16
         cg = np.asarray(self.chunk_group)
         _CT = self.chunk_tiles
 
@@ -196,7 +212,11 @@ class WhellMatrix:
                 continue
             t = s // 8
             r = res[s]
-            col = (tb[t] + pt[s, r]) * 128 + r
+            if self.group_bases is not None:
+                dlt = pt[s, r]
+                col = (gbase[gi[t] * K + (dlt >> 3)] + (dlt & 7)) * 128 + r
+            else:
+                col = (tb[t] + pt[s, r]) * 128 + r
             hack = cg[t // _CT] * self.group_hacks + hh[t]
             if row_of_lane is not None:
                 row = row_of_lane[hack]

@@ -69,6 +69,11 @@ def _load():
                 i64p, i64p, i32p, i64p, i64p, i64p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 i64p, i64p, i8p, i8p, i64p, i64p, i64p]
+            lib.whell_gather_assign2.restype = ctypes.c_int64
+            lib.whell_gather_assign2.argtypes = [
+                i64p, i64p, i32p, i64p, i64p, i64p, i8p,
+                ctypes.c_int64,
+                i64p, i64p, i8p, i8p, i64p, i64p, i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -175,6 +180,41 @@ def whell_gather_assign(order, rows, cols_l, d, lane_start, hack_of_row,
     ng = lib.whell_gather_assign(
         _p(order), _p(rows), cols_l.ctypes.data_as(i32), _p(d),
         _p(lane_start), _p(hack_of_row), m, nwin, w,
+        _p(slot), _p(lane),
+        res8.ctypes.data_as(i8), del8.ctypes.data_as(i8),
+        _p(gid), _p(gW), _p(gG))
+    return int(ng), slot, lane, res8, del8, gid, gW[:ng], gG[:ng]
+
+
+def whell_gather_assign2(order, rows, cols_l, d, lane_start, G, dlt):
+    """Scattered-window fused gather + first-fit (per-entry group keys
+    and page deltas precomputed by the caller).
+
+    Returns (ngroups, slot, lane, res8, del8, gid, gW, gG) in
+    sorted-entry order, or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = order.size
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols_l = np.ascontiguousarray(cols_l, dtype=np.int32)
+    d = np.ascontiguousarray(d, dtype=np.int64)
+    lane_start = np.ascontiguousarray(lane_start, dtype=np.int64)
+    G = np.ascontiguousarray(G, dtype=np.int64)
+    dlt = np.ascontiguousarray(dlt, dtype=np.int8)
+    slot = np.empty(m, dtype=np.int64)
+    lane = np.empty(m, dtype=np.int64)
+    res8 = np.empty(m, dtype=np.int8)
+    del8 = np.empty(m, dtype=np.int8)
+    gid = np.empty(m, dtype=np.int64)
+    gW = np.empty(max(m, 1), dtype=np.int64)
+    gG = np.empty(max(m, 1), dtype=np.int64)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    ng = lib.whell_gather_assign2(
+        _p(order), _p(rows), cols_l.ctypes.data_as(i32), _p(d),
+        _p(lane_start), _p(G), dlt.ctypes.data_as(i8), m,
         _p(slot), _p(lane),
         res8.ctypes.data_as(i8), del8.ctypes.data_as(i8),
         _p(gid), _p(gW), _p(gG))

@@ -200,6 +200,85 @@ int64_t whell_gather_assign(
     return ngroups;
 }
 
+// Scattered-window variant of whell_gather_assign: the per-entry group
+// key and page delta are precomputed by the caller (the window is a SET
+// of up to K independently-based superpages per group, so delta =
+// table_rank*8 + page%8 can't be derived from the column alone).  Same
+// capacity-aware first-fit walk otherwise.
+int64_t whell_gather_assign2(
+    const int64_t* order,        // [m] sorted entry permutation
+    const int64_t* rows,         // [raw] entry rows
+    const int32_t* cols_l,       // [m] lane-space columns (raw order)
+    const int64_t* d,            // [n] per-row lane width
+    const int64_t* lane_start,   // [n] per-row first lane
+    const int64_t* G_in,         // [m] per-entry group key (raw order)
+    const int8_t* dlt_in,        // [m] per-entry page delta (raw order)
+    int64_t m,
+    int64_t* slot_out,           // [m] slot within group (sorted order)
+    int64_t* lane_out,           // [m] lane (sorted order)
+    int8_t* res_out,             // [m] residue (sorted order)
+    int8_t* del_out,             // [m] page delta (sorted order)
+    int64_t* gid_out,            // [m] group index (sorted order)
+    int64_t* gW,                 // [>=groups] per-group max slot count
+    int64_t* gG                  // [>=groups] per-group key
+) {
+    std::vector<int8_t> ptab;
+    std::vector<int16_t> fill;
+    int64_t nslots = 0;
+    int64_t cur_g = -1, cur_row = -1, row_hint = 0;
+    int64_t ngroups = 0;
+
+    auto grow = [&](int64_t s) {
+        while ((int64_t)fill.size() <= s) {
+            ptab.resize((nslots + 1) * 128, -1);
+            fill.push_back(0);
+            ++nslots;
+        }
+    };
+
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t j = order[i];
+        const int64_t row = rows[j];
+        const int64_t res = cols_l[j] & 127;
+        const int8_t del = dlt_in[j];
+        const int64_t g = G_in[j];
+        if (g != cur_g) {
+            if (ngroups > 0) gW[ngroups - 1] = nslots;
+            gG[ngroups] = g;
+            ++ngroups;
+            cur_g = g;
+            ptab.clear();
+            fill.clear();
+            nslots = 0;
+            cur_row = -1;
+        }
+        if (row != cur_row) {
+            cur_row = row;
+            std::fill(fill.begin(), fill.end(), 0);
+            row_hint = 0;
+        }
+        const int64_t wcap = d[row];
+        int64_t s = row_hint;
+        for (;; ++s) {
+            grow(s);
+            if (fill[s] >= wcap) { if (s == row_hint) ++row_hint; continue; }
+            int8_t& pr = ptab[s * 128 + res];
+            if (pr == -1 || pr == del) {
+                pr = del;
+                slot_out[i] = s;
+                lane_out[i] = lane_start[row] + fill[s];
+                ++fill[s];
+                break;
+            }
+        }
+        res_out[i] = (int8_t)res;
+        del_out[i] = del;
+        gid_out[i] = ngroups - 1;
+    }
+    if (ngroups > 0) gW[ngroups - 1] = nslots;
+    return ngroups;
+}
+
 // Capacity-aware first-fit for the packed-lane WHELL layout.
 //
 // Entries arrive sorted by (group, row, col).  Row r owns the lane

@@ -117,10 +117,8 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, chunk_group,
     return acc.sum(axis=1)
 
 
-def _whell_packed_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref, pt_ref,
-                         seglo_ref, seghi_ref, x_hbm_ref, z_ref,
-                         zacc, x_vmem, xsem, *, window_pages, chunk_tiles,
-                         group_hacks):
+def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
+                         group_hacks, scattered=False):
     """Packed-lane WHELL SpMV.
 
     Same streaming skeleton as :func:`_whell_kernel`, plus:
@@ -129,12 +127,23 @@ def _whell_packed_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref, pt_ref,
       the 8-page sublane-gather table limit is worked around by slicing
       ``window_pages/8`` aligned 8-page tables and selecting by the high
       bits of ``pt`` (a 1- or 2-level vector select tree);
+    * scattered windows — when ``scattered``, the K tables are
+      INDEPENDENTLY based (per-layout-group superpage sets from
+      ``group_bases``, prefetched as a third scalar operand): a hack's
+      local cluster and its far/hub columns share one group, which cuts
+      the W->tile rounding padding ~2.5x -> ~1.6x (doc/DESIGN.md §2d);
     * segment flush — accumulation goes to a persistent VMEM scratch;
       on the last chunk of each 8-hack group the scratch is slot-summed,
       prefix-scanned along lanes, and compacted into per-row outputs via
       the ``seg_lo``/``seg_hi`` gather (rows own lane SEGMENTS sized by
       degree — the anti-raggedness layout, formats/whell.py).
     """
+    if scattered:
+        (tmeta_ref, cgroup_ref, gbase_ref, vals_ref, res_ref, pt_ref,
+         seglo_ref, seghi_ref, x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
+    else:
+        (tmeta_ref, cgroup_ref, vals_ref, res_ref, pt_ref,
+         seglo_ref, seghi_ref, x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -151,26 +160,38 @@ def _whell_packed_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref, pt_ref,
     def _():
         zacc[:] = jnp.zeros_like(zacc)
 
+    ntab = window_pages // 8
     for k in range(chunk_tiles):
         t = c * chunk_tiles + k
         meta = tmeta_ref[t]
-        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
         res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
-        win = x_vmem[pl.ds(base, 8), :]
-        if window_pages == 8:
-            h1 = jnp.take_along_axis(win, pt, axis=0)
-        else:
+        if scattered:
+            gidx = jax.lax.bitwise_and(meta, jnp.int32(0xFFFFF))
+            hh = jax.lax.shift_right_logical(meta, jnp.int32(20))
             pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
             blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
-            h1 = jnp.take_along_axis(win, pt7, axis=0)
-            for wb in range(1, window_pages // 8):
-                winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
+            h1 = None
+            for wb in range(ntab):
+                winb = x_vmem[pl.ds(gbase_ref[gidx * ntab + wb], 8), :]
                 hb = jnp.take_along_axis(winb, pt7, axis=0)
-                h1 = jnp.where(blk == wb, hb, h1)
+                h1 = hb if h1 is None else jnp.where(blk == wb, hb, h1)
+        else:
+            base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+            hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+            win = x_vmem[pl.ds(base, 8), :]
+            if window_pages == 8:
+                h1 = jnp.take_along_axis(win, pt, axis=0)
+            else:
+                pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+                blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+                h1 = jnp.take_along_axis(win, pt7, axis=0)
+                for wb in range(1, ntab):
+                    winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
+                    hb = jnp.take_along_axis(winb, pt7, axis=0)
+                    h1 = jnp.where(blk == wb, hb, h1)
         g = jnp.take_along_axis(h1, res, axis=1)
         v = vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype)
-        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
         zacc[pl.ds(hh, 1), :, :] += (v * g)[None]
 
     # flush: last chunk of this 8-hack group (trailing -1 sentinel makes
@@ -199,32 +220,36 @@ def _whell_packed_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref, pt_ref,
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
     "group_hacks", "interpret"))
 def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
-                       tile_base, chunk_group, x2d, *, num_tiles,
-                       num_groups, x_pages, window_pages, chunk_tiles,
-                       group_hacks, interpret=False):
+                       tile_base, chunk_group, x2d, group_bases=None, *,
+                       num_tiles, num_groups, x_pages, window_pages,
+                       chunk_tiles, group_hacks, interpret=False):
     ct, gh = chunk_tiles, group_hacks
+    scattered = group_bases is not None
     num_chunks = num_tiles // ct
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if scattered else 2,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),  # seg_lo
-            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),  # seg_hi
+            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
-        out_specs=pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+        out_specs=pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
         scratch_shapes=[
             pltpu.VMEM((gh, 8, 128), x2d.dtype),  # group accumulator
             pltpu.VMEM((x_pages, 128), x2d.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    ops = ((tile_base, chunk_group, group_bases) if scattered
+           else (tile_base, chunk_group))
     return pl.pallas_call(
         functools.partial(_whell_packed_kernel, window_pages=window_pages,
-                          chunk_tiles=ct, group_hacks=gh),
+                          chunk_tiles=ct, group_hacks=gh,
+                          scattered=scattered),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), x2d.dtype),
         interpret=interpret,
@@ -233,7 +258,7 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
             bytes_accessed=num_tiles * 8 * 128 * 6 + x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(tile_base, chunk_group, values, residue, page_tab, seg_lo, seg_hi, x2d)
+    )(*ops, values, residue, page_tab, seg_lo, seg_hi, x2d)
 
 
 def _whell_packed_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
@@ -434,15 +459,19 @@ def whell_spmv_dd_pallas(a: WhellMatrix, x_pair, interpret: bool = False):
     return z.reshape(2, -1)[:, : a.n_rows]
 
 
-def _whell_packed_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
-                              pt_ref, seglo_ref, seghi_ref, x_hbm_ref, z_ref,
-                              zacc, x_vmem, xsem, *, window_pages,
-                              chunk_tiles, group_hacks, n_rhs):
+def _whell_packed_spmm_kernel(*refs, window_pages, chunk_tiles,
+                              group_hacks, n_rhs, scattered=False):
     """Fused multi-RHS packed-WHELL SpMM: the slab (values + indices) is
     decoded ONCE per tile and amortised over ``n_rhs`` products (the
     reference loops scalar kernels host-side, sdot.cu:167-175).  The
     kernel is VPU-op-bound, so the win comes from sharing the slab
     loads/casts and per-tile scalar work, not from HBM traffic."""
+    if scattered:
+        (tmeta_ref, cgroup_ref, gbase_ref, vals_ref, res_ref, pt_ref,
+         seglo_ref, seghi_ref, x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
+    else:
+        (tmeta_ref, cgroup_ref, vals_ref, res_ref, pt_ref,
+         seglo_ref, seghi_ref, x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -459,27 +488,39 @@ def _whell_packed_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
     def _():
         zacc[:] = jnp.zeros_like(zacc)
 
+    ntab = window_pages // 8
     for k in range(chunk_tiles):
         t = c * chunk_tiles + k
         meta = tmeta_ref[t]
-        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
         res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         v = vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype)
-        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
-        if window_pages > 8:
+        if scattered:
+            gidx = jax.lax.bitwise_and(meta, jnp.int32(0xFFFFF))
+            hh = jax.lax.shift_right_logical(meta, jnp.int32(20))
+        else:
+            base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+            hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        if scattered or window_pages > 8:
             pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
             blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
 
         # RHS loop as lax.fori: unrolling n_rhs x chunk_tiles bodies
         # explodes the Mosaic compile (DESIGN.md)
         def rhs_body(r, _):
-            win = x_vmem[r, pl.ds(base, 8), :]
-            if window_pages == 8:
+            if scattered:
+                h1 = None
+                for wb in range(ntab):
+                    winb = x_vmem[r, pl.ds(gbase_ref[gidx * ntab + wb], 8), :]
+                    hb = jnp.take_along_axis(winb, pt7, axis=0)
+                    h1 = hb if h1 is None else jnp.where(blk == wb, hb, h1)
+            elif window_pages == 8:
+                win = x_vmem[r, pl.ds(base, 8), :]
                 h1 = jnp.take_along_axis(win, pt, axis=0)
             else:
+                win = x_vmem[r, pl.ds(base, 8), :]
                 h1 = jnp.take_along_axis(win, pt7, axis=0)
-                for wb in range(1, window_pages // 8):
+                for wb in range(1, ntab):
                     winb = x_vmem[r, pl.ds(base + 8 * wb, 8), :]
                     hb = jnp.take_along_axis(winb, pt7, axis=0)
                     h1 = jnp.where(blk == wb, hb, h1)
@@ -513,34 +554,37 @@ def _whell_packed_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
     "group_hacks", "n_rhs", "interpret"))
 def _whell_packed_spmm_call(values, residue, page_tab, seg_lo, seg_hi,
-                            tile_base, chunk_group, x3d, *, num_tiles,
-                            num_groups, x_pages, window_pages, chunk_tiles,
-                            group_hacks, n_rhs, interpret=False):
+                            tile_base, chunk_group, x3d, group_bases=None,
+                            *, num_tiles, num_groups, x_pages, window_pages,
+                            chunk_tiles, group_hacks, n_rhs, interpret=False):
     ct, gh = chunk_tiles, group_hacks
+    scattered = group_bases is not None
     num_chunks = num_tiles // ct
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if scattered else 2,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
             pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
-            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x3d (n_rhs, pages, 128)
         ],
         out_specs=pl.BlockSpec(
-            (n_rhs, gh, 128), lambda c, tm, cg: (0, cg[c], 0)),
+            (n_rhs, gh, 128), lambda c, tm, cg, *_: (0, cg[c], 0)),
         scratch_shapes=[
             pltpu.VMEM((n_rhs, gh, 8, 128), x3d.dtype),
             pltpu.VMEM((n_rhs, x_pages, 128), x3d.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    ops = ((tile_base, chunk_group, group_bases) if scattered
+           else (tile_base, chunk_group))
     return pl.pallas_call(
         functools.partial(_whell_packed_spmm_kernel,
                           window_pages=window_pages, chunk_tiles=ct,
-                          group_hacks=gh, n_rhs=n_rhs),
+                          group_hacks=gh, n_rhs=n_rhs, scattered=scattered),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_rhs, num_groups * gh, 128), x3d.dtype),
@@ -551,7 +595,7 @@ def _whell_packed_spmm_call(values, residue, page_tab, seg_lo, seg_hi,
             + n_rhs * x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(tile_base, chunk_group, values, residue, page_tab, seg_lo, seg_hi, x3d)
+    )(*ops, values, residue, page_tab, seg_lo, seg_hi, x3d)
 
 
 def whell_spmm_packed_pallas(a, x, interpret: bool = False):
@@ -581,7 +625,7 @@ def whell_spmm_packed_pallas(a, x, interpret: bool = False):
     x3 = x3.reshape(n_rhs, a.x_pages, 128)
     z = _whell_packed_spmm_call(
         a.values, a.residue, a.page_tab, a.seg_lo, a.seg_hi,
-        a.tile_base, a.chunk_group, x3,
+        a.tile_base, a.chunk_group, x3, a.group_bases,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
         window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
         group_hacks=a.group_hacks, n_rhs=n_rhs, interpret=interpret,
@@ -1013,7 +1057,7 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
         # space end-to-end)
         z = _whell_packed_call(
             a.values, a.residue, a.page_tab, a.seg_lo, a.seg_hi,
-            a.tile_base, a.chunk_group, x2d,
+            a.tile_base, a.chunk_group, x2d, a.group_bases,
             num_tiles=a.num_tiles, num_groups=a.num_groups,
             x_pages=a.x_pages, window_pages=a.window_pages,
             chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
