@@ -161,22 +161,24 @@ def coo_to_whell(
             return WhellComplex(ar=ar, ai=ai, n_rows=ar.n_rows,
                                 n_cols=ar.n_cols, orig_rows=coo.n_rows,
                                 nnz=coo.nnz)
-        # measured geometry sweet spot on the 262k-row FEM profile
-        # (chip sweep, BASELINE.md / doc/DESIGN.md): 32-page windows,
-        # 128-hack groups, 256-tile chunks -> pad 2.47x (vs 5.9x
-        # classic), 41.0 GFLOPS (vs 17.0 classic).  Bigger groups mean
-        # fewer z flushes and less chunk-floor waste; bigger chunks
-        # amortise the per-grid-step overhead.  Small matrices scale the
-        # geometry down so the per-group chunk floor (>= ct tiles of
-        # 1024 cells each) doesn't dominate storage.  dd kernels unroll
-        # ~4x more ops per tile, so their chunks stay at 16 tiles to
-        # keep the Mosaic compile tractable (DESIGN.md compile-time
-        # notes).
         is_dd_vals = np.dtype(
             coo.values.dtype if dtype is None else dtype) == np.float64
+        if scattered is None:
+            scattered = not is_dd_vals  # dd kernels keep aligned windows
         est_tiles = max(1, coo.nnz // 1024)
+        num_hacks = -(-coo.n_rows // 128)
+        # measured geometry sweet spots on the 262k-row FEM profile
+        # (honest chip sweeps, BASELINE.md / doc/DESIGN.md).  Scattered
+        # (r2b): K=4 per-group superpage tables, 512-hack groups,
+        # 128-tile chunks -> pad 1.74x, 93 GFLOPS.  Aligned windows:
+        # gh=128/ct=256 -> pad 2.47x, 76.5.  Small matrices scale the
+        # geometry down so the per-group chunk floor doesn't dominate;
+        # dd kernels unroll ~4x more ops per tile so their chunks stay
+        # at 16 tiles to keep the Mosaic compile tractable.
         if is_dd_vals:
             ct = 16
+        elif scattered:
+            ct = 128 if est_tiles >= 512 else (64 if est_tiles >= 128 else 32)
         elif est_tiles >= 2048:
             ct = 256
         elif est_tiles >= 512:
@@ -185,10 +187,14 @@ def coo_to_whell(
             ct = 64
         else:
             ct = 32
-        num_hacks = -(-coo.n_rows // 128)
-        gh = 128 if (num_hacks >= 128 and not is_dd_vals) else 32
-        if scattered is None:
-            scattered = not is_dd_vals  # dd kernels keep aligned windows
+        if is_dd_vals:
+            gh = 32
+        elif scattered and num_hacks >= 512:
+            gh = 512
+        elif num_hacks >= 128:
+            gh = 128
+        else:
+            gh = 32
         return _coo_to_whell_packed(coo, window_pages or 32, lane_capacity,
                                     dtype, group_hacks=gh,
                                     chunk_tiles=ct,
@@ -388,7 +394,7 @@ def _coo_to_whell_packed(
     panel_x_bytes: Optional[int] = None,
     return_plan: bool = False,
     scattered: bool = False,
-    supers_per_tile: int = 8,
+    supers_per_tile: Optional[int] = None,
 ) -> WhellMatrix:
     """Packed-lane WHELL builder (see :func:`coo_to_whell` docstring).
 
@@ -517,7 +523,10 @@ def _coo_to_whell_packed(
         # K.  A hack whose columns cluster locally AND hit a far hub
         # block then needs ONE group instead of one per aligned window
         # — the W->tile rounding waste collapses (doc/DESIGN.md §2d).
-        K = supers_per_tile
+        # K tables per tile; default 4 (K=8 gave the same padding but
+        # +4 gathers/selects per tile measured -14% — the kernel is
+        # vector-op-bound, doc/DESIGN.md §2d)
+        K = supers_per_tile or max(w // 8, 1)
         nsup_tot = x_pages // 8
         budget_pages = max((budget // (128 * x_entry_bytes)) // 8, 1) * 8
         sup_per_panel = budget_pages // 8
@@ -525,11 +534,24 @@ def _coo_to_whell_packed(
             if x_pages > budget_pages else 1
         page_e = cols_l32.astype(np.int64) >> 7
         sup_e = page_e >> 3
-        panel_e = sup_e // sup_per_panel if n_panels > 1 else 0
-        hp_e = hack * n_panels + panel_e
-        ukey = hp_e * nsup_tot + sup_e
-        uk, inv = np.unique(ukey, return_inverse=True)
-        u_hp = uk // nsup_tot
+        # key = (hack, superpage); the panel is DERIVED from the
+        # superpage, so the key space is num_hacks * nsup_tot — small
+        # enough for an occupancy-table uniquification (np.unique with
+        # return_inverse sorts 2x m and cost ~15 s at 26.8M nnz)
+        ukey = hack * nsup_tot + sup_e
+        keyspace = int(num_hacks) * nsup_tot
+        if keyspace <= 4 * m + (1 << 20):
+            occ = np.zeros(keyspace, dtype=bool)
+            occ[ukey] = True
+            uk = np.flatnonzero(occ)
+            del occ
+            lookup = "lut"
+        else:
+            uk = np.unique(ukey)
+            lookup = "searchsorted"
+        sup_u = uk % nsup_tot
+        u_hp = ((uk // nsup_tot) * n_panels
+                + (sup_u // sup_per_panel if n_panels > 1 else 0))
         first = np.r_[True, u_hp[1:] != u_hp[:-1]]
         starts = np.flatnonzero(first)
         rank_u = (np.arange(uk.size)
@@ -537,9 +559,19 @@ def _coo_to_whell_packed(
         maxbins = int(rank_u.max()) // K + 1
         G_u = u_hp * maxbins + rank_u // K
         tbl_u = rank_u % K
-        G = G_u[inv]
-        dlt8 = (tbl_u[inv] * 8 + (page_e & 7)).astype(np.int8)
-        sup_u = uk % nsup_tot
+        # per-entry (G, table) via a packed per-key code; 3-bit table
+        # field so the unpack is shift/mask (np.int64 // and % are
+        # scalar-loop slow — 10 s at 26.8M nnz, measured)
+        code_u = (G_u << 3) | tbl_u
+        if lookup == "lut":
+            lut = np.zeros(keyspace, dtype=np.int64)
+            lut[uk] = code_u
+            code = lut[ukey]
+            del lut
+        else:
+            code = code_u[np.searchsorted(uk, ukey)]
+        G = code >> 3
+        dlt8 = (((code & 7) << 3) | (page_e & 7)).astype(np.int8)
         panel_u = u_hp % n_panels
     else:
         G = hack * nwin + (cols_l32.astype(np.int64) >> 7) // w
@@ -558,16 +590,28 @@ def _coo_to_whell_packed(
                          kind="stable")
         order = pre[np.argsort(G[pre], kind="stable")]
 
+    nat = None
     if scattered:
-        nat = _native.whell_gather_assign2(
-            order, coo.rows, cols_l32, d, lane_start, G, dlt8)
+        # group boundaries precomputed so the C++ first-fit can run
+        # groups in parallel (they share no state)
+        Gs_all = G[order]
+        g_change = np.r_[True, Gs_all[1:] != Gs_all[:-1]]
+        g_starts = np.flatnonzero(g_change)
+        natp = _native.whell_gather_assign_par(
+            order, coo.rows, cols_l32, d, lane_start, dlt8,
+            np.r_[g_starts, m])
+        if natp is not None:
+            k, vlane, res_s, g_id, W = natp
+            del_s = dlt8[order]
+            g_G = Gs_all[g_starts]
+            nat = True
     else:
         nat = _native.whell_gather_assign(
             order, coo.rows, cols_l32, d, lane_start, hack_of_row, nwin, w)
-    if nat is not None:
-        # fused gather + first-fit + group widths (one C++ pass)
-        _ng, k, vlane, res_s, del_s, g_id, W, g_G = nat
-    else:
+        if nat is not None:
+            # fused gather + first-fit + group widths (one C++ pass)
+            _ng, k, vlane, res_s, del_s, g_id, W, g_G = nat
+    if nat is None:
         Gs = G[order]
         rows_s = coo.rows[order]
         cl_s = cols_l32[order].astype(np.int64)
@@ -624,7 +668,8 @@ def _coo_to_whell_packed(
         W = np.maximum.reduceat(k + 1, np.flatnonzero(g_first))
         g_G = Gs[g_first]
 
-    vals_sorted = vals_in[order]
+    vals_nat = (vals_in if vals_in.dtype == val_dtype
+                else vals_in.astype(val_dtype))
     seg_lo_j = jnp.asarray(seg_lo)
     seg_hi_j = jnp.asarray(seg_hi)
     lane_of_row_j = jnp.asarray(lane_of_row)
@@ -647,7 +692,7 @@ def _coo_to_whell_packed(
         if gsel is None:  # single panel: no subset copies
             k_p, vlane_p, res_p, del_p, gid_p = k, vlane, res_s, del_s, g_id
             W_p, gG_p = W, g_G
-            v_p = vals_sorted
+            order_p = order
             bases_p = bases_full
         else:
             esel = gsel[g_id]
@@ -659,7 +704,7 @@ def _coo_to_whell_packed(
             gid_p = gmap[g_id[esel]]
             W_p = W[gsel]
             gG_p = g_G[gsel]
-            v_p = vals_sorted[esel]
+            order_p = order[esel]
             if bases_full is not None:
                 bases_p = bases_full[gsel]
         if W_p.size == 0:
@@ -688,12 +733,17 @@ def _coo_to_whell_packed(
         g_tile0 = g8_base[hack8] + within_t
 
         slot = g_tile0[gid_p] * 8 + k_p
-        vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
-        res8 = np.zeros((total_slots, _HACK), dtype=np.int8)
-        pt8 = np.zeros((total_slots, 128), dtype=np.int8)
-        vals[slot, vlane_p] = v_p
-        res8[slot, vlane_p] = res_p.astype(np.int8)
-        pt8[slot, res_p.astype(np.int64)] = del_p.astype(np.int8)
+        nat_sc = _native.whell_scatter_slabs(
+            order_p, vals_nat, slot, vlane_p, res_p, del_p, total_slots)
+        if nat_sc is not None:  # parallel C++ scatter (race-free cells)
+            vals, res8, pt8 = nat_sc
+        else:
+            vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
+            res8 = np.zeros((total_slots, _HACK), dtype=np.int8)
+            pt8 = np.zeros((total_slots, 128), dtype=np.int8)
+            vals[slot, vlane_p] = vals_nat[order_p]
+            res8[slot, vlane_p] = res_p.astype(np.int8)
+            pt8[slot, res_p.astype(np.int64)] = del_p.astype(np.int8)
         vals_lo = None
         if is_dd:
             from spgpu_tpu.ops.dd import split as _dd_split

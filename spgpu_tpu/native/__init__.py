@@ -40,10 +40,18 @@ def _load():
         try:
             if (not os.path.exists(_SO)
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"],
-                    check=True, capture_output=True, timeout=120,
-                )
+                try:  # OpenMP for the parallel assign/scatter passes
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", "-fopenmp",
+                         _SRC, "-o", _SO + ".tmp"],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                except subprocess.CalledProcessError:
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", _SRC,
+                         "-o", _SO + ".tmp"],
+                        check=True, capture_output=True, timeout=120,
+                    )
                 os.replace(_SO + ".tmp", _SO)
             lib = ctypes.CDLL(_SO)
             i64p = ctypes.POINTER(ctypes.c_int64)
@@ -74,6 +82,16 @@ def _load():
                 i64p, i64p, i32p, i64p, i64p, i64p, i8p,
                 ctypes.c_int64,
                 i64p, i64p, i8p, i8p, i64p, i64p, i64p]
+            lib.whell_gather_assign_par.restype = ctypes.c_int64
+            lib.whell_gather_assign_par.argtypes = [
+                i64p, i64p, i32p, i64p, i64p, i8p, i64p,
+                ctypes.c_int64,
+                i64p, i64p, i8p, i64p, i64p]
+            lib.whell_scatter_slabs.restype = None
+            lib.whell_scatter_slabs.argtypes = [
+                i64p, ctypes.c_void_p, i64p, i64p, i8p, i8p,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, i8p, i8p]
             _lib = lib
         except Exception:
             _lib = None
@@ -219,6 +237,66 @@ def whell_gather_assign2(order, rows, cols_l, d, lane_start, G, dlt):
         res8.ctypes.data_as(i8), del8.ctypes.data_as(i8),
         _p(gid), _p(gW), _p(gG))
     return int(ng), slot, lane, res8, del8, gid, gW[:ng], gG[:ng]
+
+
+def whell_gather_assign_par(order, rows, cols_l, d, lane_start, dlt, starts):
+    """Parallel (OpenMP) fused gather + first-fit over precomputed group
+    boundaries (``starts``: [ngroups+1] sorted-entry offsets).
+
+    Returns (slot, lane, res8, gid, gW) in sorted-entry order, or None
+    when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = order.size
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols_l = np.ascontiguousarray(cols_l, dtype=np.int32)
+    d = np.ascontiguousarray(d, dtype=np.int64)
+    lane_start = np.ascontiguousarray(lane_start, dtype=np.int64)
+    dlt = np.ascontiguousarray(dlt, dtype=np.int8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ngroups = starts.size - 1
+    slot = np.empty(m, dtype=np.int64)
+    lane = np.empty(m, dtype=np.int64)
+    res8 = np.empty(m, dtype=np.int8)
+    gid = np.empty(m, dtype=np.int64)
+    gW = np.empty(max(ngroups, 1), dtype=np.int64)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.whell_gather_assign_par(
+        _p(order), _p(rows), cols_l.ctypes.data_as(i32), _p(d),
+        _p(lane_start), dlt.ctypes.data_as(i8), _p(starts), ngroups,
+        _p(slot), _p(lane), res8.ctypes.data_as(i8), _p(gid), _p(gW))
+    return slot, lane, res8, gid, gW
+
+
+def whell_scatter_slabs(order, vals, slot_glob, lane, res, dlt,
+                        total_slots: int):
+    """Parallel slab scatter into freshly-zeroed (total_slots, 128)
+    value/residue/page-table slabs; returns (vals, res8, pt8) or None
+    when unavailable.  Cells are distinct by construction (race-free)."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = order.size
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    vals = np.ascontiguousarray(vals)
+    slot_glob = np.ascontiguousarray(slot_glob, dtype=np.int64)
+    lane = np.ascontiguousarray(lane, dtype=np.int64)
+    res = np.ascontiguousarray(res, dtype=np.int8)
+    dlt = np.ascontiguousarray(dlt, dtype=np.int8)
+    vslab = np.zeros((total_slots, 128), dtype=vals.dtype)
+    rslab = np.zeros((total_slots, 128), dtype=np.int8)
+    pslab = np.zeros((total_slots, 128), dtype=np.int8)
+    i8 = ctypes.POINTER(ctypes.c_int8)
+    lib.whell_scatter_slabs(
+        _p(order), ctypes.c_void_p(vals.ctypes.data), _p(slot_glob),
+        _p(lane), res.ctypes.data_as(i8), dlt.ctypes.data_as(i8),
+        m, vals.dtype.itemsize,
+        ctypes.c_void_p(vslab.ctypes.data),
+        rslab.ctypes.data_as(i8), pslab.ctypes.data_as(i8))
+    return vslab, rslab, pslab
 
 
 def whell_assign(G: np.ndarray, lane: np.ndarray, res: np.ndarray,

@@ -279,6 +279,103 @@ int64_t whell_gather_assign2(
     return ngroups;
 }
 
+// Parallel (OpenMP) variant of whell_gather_assign2: groups are
+// independent first-fit problems, so threads take contiguous group
+// ranges (`starts[g]` = first sorted-entry index of group g; the caller
+// precomputes boundaries from the sorted key array).  Group ids and
+// widths are written by global group index — no cross-thread state.
+int64_t whell_gather_assign_par(
+    const int64_t* order,        // [m] sorted entry permutation
+    const int64_t* rows,         // [raw] entry rows
+    const int32_t* cols_l,       // [m] lane-space columns (raw order)
+    const int64_t* d,            // [n] per-row lane width
+    const int64_t* lane_start,   // [n] per-row first lane
+    const int8_t* dlt_in,        // [m] per-entry page delta (raw order)
+    const int64_t* starts,       // [ngroups+1] sorted-entry group bounds
+    int64_t ngroups,
+    int64_t* slot_out,           // [m] slot within group (sorted order)
+    int64_t* lane_out,           // [m] lane (sorted order)
+    int8_t* res_out,             // [m] residue (sorted order)
+    int64_t* gid_out,            // [m] group index (sorted order)
+    int64_t* gW                  // [ngroups] per-group max slot count
+) {
+#pragma omp parallel
+    {
+        std::vector<int8_t> ptab;
+        std::vector<int16_t> fill;
+#pragma omp for schedule(dynamic, 64)
+        for (int64_t g = 0; g < ngroups; ++g) {
+            int64_t nslots = 0;
+            int64_t cur_row = -1, row_hint = 0;
+            ptab.clear();
+            fill.clear();
+            for (int64_t i = starts[g]; i < starts[g + 1]; ++i) {
+                const int64_t j = order[i];
+                const int64_t row = rows[j];
+                const int64_t res = cols_l[j] & 127;
+                const int8_t del = dlt_in[j];
+                if (row != cur_row) {
+                    cur_row = row;
+                    std::fill(fill.begin(), fill.end(), 0);
+                    row_hint = 0;
+                }
+                const int64_t wcap = d[row];
+                int64_t s = row_hint;
+                for (;; ++s) {
+                    while ((int64_t)fill.size() <= s) {
+                        ptab.resize((nslots + 1) * 128, -1);
+                        fill.push_back(0);
+                        ++nslots;
+                    }
+                    if (fill[s] >= wcap) {
+                        if (s == row_hint) ++row_hint;
+                        continue;
+                    }
+                    int8_t& pr = ptab[s * 128 + res];
+                    if (pr == -1 || pr == del) {
+                        pr = del;
+                        slot_out[i] = s;
+                        lane_out[i] = lane_start[row] + fill[s];
+                        ++fill[s];
+                        break;
+                    }
+                }
+                res_out[i] = (int8_t)res;
+                gid_out[i] = g;
+            }
+            gW[g] = nslots;
+        }
+    }
+    return ngroups;
+}
+
+// Parallel slab scatter: entries land at distinct (slot, lane) cells by
+// construction, so the three scatters are race-free.  `vals` may be any
+// element size (bytes memcpy'd) — fp32/fp64/bf16 slabs share the path.
+void whell_scatter_slabs(
+    const int64_t* order,       // [m] sorted entry permutation
+    const char* vals_raw,       // [raw] entry values, elem_size bytes each
+    const int64_t* slot_glob,   // [m] global slot index (sorted order)
+    const int64_t* lane,        // [m] lane (sorted order)
+    const int8_t* res,          // [m] residue (sorted order)
+    const int8_t* dlt,          // [m] page delta (sorted order)
+    int64_t m,
+    int64_t elem_size,
+    char* vals_slab,            // [total_slots*128*elem_size] zeroed
+    int8_t* res_slab,           // [total_slots*128] zeroed
+    int8_t* pt_slab             // [total_slots*128] zeroed
+) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < m; ++i) {
+        const int64_t cell = slot_glob[i] * 128 + lane[i];
+        const int64_t j = order[i];
+        for (int64_t b = 0; b < elem_size; ++b)
+            vals_slab[cell * elem_size + b] = vals_raw[j * elem_size + b];
+        res_slab[cell] = res[i];
+        pt_slab[slot_glob[i] * 128 + res[i]] = dlt[i];
+    }
+}
+
 // Capacity-aware first-fit for the packed-lane WHELL layout.
 //
 // Entries arrive sorted by (group, row, col).  Row r owns the lane
