@@ -22,6 +22,10 @@ conversions and Matrix Market I/O — rebuilt for TPU:
   (``spgpu_tpu/native``).
 """
 
+from spgpu_tpu.utils.hostmem import tune_malloc as _tune_malloc
+
+_tune_malloc()  # page-fault cost dominates conversions on microVM hosts
+
 from spgpu_tpu import convert, formats, io, ops, parallel, solvers, utils
 from spgpu_tpu.core import Context, LANES, Status, TypeCode, create, destroy, size_of
 from spgpu_tpu.formats import (

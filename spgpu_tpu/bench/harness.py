@@ -271,10 +271,18 @@ def run_baseline_rows(fem, big: bool):
     t0 = time.perf_counter()
     a = coo_to_whell(fem, packed=True)
     t_conv = time.perf_counter() - t0
+    # steady-state: the first call in a process additionally pays the
+    # microVM soft-page-fault cost of faulting in the working set
+    # (utils/hostmem.py keeps those pages resident for every later
+    # conversion, which is what a solver pipeline sees)
+    t0 = time.perf_counter()
+    a = coo_to_whell(fem, packed=True)
+    t_warm = time.perf_counter() - t0
     rows.append({
         "config": "conversion", "op": "coo_to_whell_packed",
-        "nnz": fem.nnz, "t_s": round(t_conv, 3),
-        "nnz_per_s": round(fem.nnz / t_conv, 0),
+        "nnz": fem.nnz, "t_cold_s": round(t_conv, 3),
+        "t_s": round(t_warm, 3),
+        "nnz_per_s": round(fem.nnz / t_warm, 0),
     })
 
     # scipy CPU SpMV (CSR) — the host-library anchor

@@ -29,6 +29,11 @@ _HACK = 128
 #: column counts split into window-aligned panels (PanelledWhell)
 _PANEL_X_BYTES = 11 * 2 ** 20
 
+#: refuse to allocate a padded value/index slab beyond this (runaway
+#: padding on structure-less matrices); env-overridable
+_SLAB_GUARD_BYTES = int(__import__("os").environ.get(
+    "SPGPU_TPU_SLAB_GUARD_BYTES", 16 * 2 ** 30))
+
 
 def degree_sort_perm(coo: CooMatrix) -> np.ndarray:
     """Stored-row → original-row permutation sorting rows by descending
@@ -728,16 +733,42 @@ def _coo_to_whell_packed(
         g8_base = _excl_cumsum(pad_tiles_per_g8)
         num_tiles = int(pad_tiles_per_g8.sum())
         total_slots = num_tiles * 8
+        # Guard: a matrix with no column locality defeats every windowed
+        # layout (each entry lands in its own (hack, superpage) group —
+        # measured pad ~32x on uniformly-random 250k/26.8-per-row COO).
+        # Warn on bad padding; refuse to allocate a runaway slab.  The
+        # portable paths (coo_to_hell + XLA spmv, or solvers.solve()'s
+        # auto-selection) handle such matrices without the blowup.
+        slab_bytes = total_slots * _HACK * (val_dtype.itemsize + 2)
+        pad_now = total_slots * _HACK / max(k_p.size, 1)
+        if slab_bytes > _SLAB_GUARD_BYTES:
+            raise ValueError(
+                f"packed WHELL slab would be {slab_bytes/2**30:.1f} GiB "
+                f"(padding {pad_now:.0f}x nnz): this matrix has too "
+                "little column locality for a windowed layout. Use "
+                "symmetric_relabel/local_degree_perm first, a portable "
+                "format (coo_to_hell), or solvers.solve() which "
+                "auto-selects; raise SPGPU_TPU_SLAB_GUARD_BYTES to force."
+            )
+        if pad_now > 8.0 and k_p.size > 100_000:
+            import warnings
+
+            warnings.warn(
+                f"packed WHELL padding is {pad_now:.1f}x nnz — the "
+                "matrix's column structure suits the windowed layout "
+                "poorly; consider a relabel or another format",
+                stacklevel=3)
         within_t = (_excl_cumsum(raw_tiles_per_grp)
                     - _excl_cumsum(tiles_per_g8)[hack8])
         g_tile0 = g8_base[hack8] + within_t
 
-        slot = g_tile0[gid_p] * 8 + k_p
         nat_sc = _native.whell_scatter_slabs(
-            order_p, vals_nat, slot, vlane_p, res_p, del_p, total_slots)
+            order_p, vals_nat, g_tile0, gid_p, k_p, vlane_p, res_p, del_p,
+            total_slots)
         if nat_sc is not None:  # parallel C++ scatter (race-free cells)
-            vals, res8, pt8 = nat_sc
+            vals, res8, pt8, slot = nat_sc
         else:
+            slot = g_tile0[gid_p] * 8 + k_p
             vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
             res8 = np.zeros((total_slots, _HACK), dtype=np.int8)
             pt8 = np.zeros((total_slots, 128), dtype=np.int8)

@@ -89,9 +89,9 @@ def _load():
                 i64p, i64p, i8p, i64p, i64p]
             lib.whell_scatter_slabs.restype = None
             lib.whell_scatter_slabs.argtypes = [
-                i64p, ctypes.c_void_p, i64p, i64p, i8p, i8p,
+                i64p, ctypes.c_void_p, i64p, i64p, i64p, i64p, i8p, i8p,
                 ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_void_p, i8p, i8p]
+                ctypes.c_void_p, i8p, i8p, i64p]
             _lib = lib
         except Exception:
             _lib = None
@@ -271,32 +271,37 @@ def whell_gather_assign_par(order, rows, cols_l, d, lane_start, dlt, starts):
     return slot, lane, res8, gid, gW
 
 
-def whell_scatter_slabs(order, vals, slot_glob, lane, res, dlt,
+def whell_scatter_slabs(order, vals, g_tile0, gid, k, lane, res, dlt,
                         total_slots: int):
     """Parallel slab scatter into freshly-zeroed (total_slots, 128)
-    value/residue/page-table slabs; returns (vals, res8, pt8) or None
-    when unavailable.  Cells are distinct by construction (race-free)."""
+    value/residue/page-table slabs; slot = g_tile0[gid]*8 + k computed
+    in-loop.  Returns (vals, res8, pt8, slot) or None when unavailable.
+    Cells are distinct by construction (race-free)."""
     lib = _load()
     if lib is None:
         return None
     m = order.size
     order = np.ascontiguousarray(order, dtype=np.int64)
     vals = np.ascontiguousarray(vals)
-    slot_glob = np.ascontiguousarray(slot_glob, dtype=np.int64)
+    g_tile0 = np.ascontiguousarray(g_tile0, dtype=np.int64)
+    gid = np.ascontiguousarray(gid, dtype=np.int64)
+    k = np.ascontiguousarray(k, dtype=np.int64)
     lane = np.ascontiguousarray(lane, dtype=np.int64)
     res = np.ascontiguousarray(res, dtype=np.int8)
     dlt = np.ascontiguousarray(dlt, dtype=np.int8)
     vslab = np.zeros((total_slots, 128), dtype=vals.dtype)
     rslab = np.zeros((total_slots, 128), dtype=np.int8)
     pslab = np.zeros((total_slots, 128), dtype=np.int8)
+    slot = np.empty(m, dtype=np.int64)
     i8 = ctypes.POINTER(ctypes.c_int8)
     lib.whell_scatter_slabs(
-        _p(order), ctypes.c_void_p(vals.ctypes.data), _p(slot_glob),
+        _p(order), ctypes.c_void_p(vals.ctypes.data), _p(g_tile0),
+        _p(gid), _p(k),
         _p(lane), res.ctypes.data_as(i8), dlt.ctypes.data_as(i8),
         m, vals.dtype.itemsize,
         ctypes.c_void_p(vslab.ctypes.data),
-        rslab.ctypes.data_as(i8), pslab.ctypes.data_as(i8))
-    return vslab, rslab, pslab
+        rslab.ctypes.data_as(i8), pslab.ctypes.data_as(i8), _p(slot))
+    return vslab, rslab, pslab, slot
 
 
 def whell_assign(G: np.ndarray, lane: np.ndarray, res: np.ndarray,

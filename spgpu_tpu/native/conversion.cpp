@@ -352,10 +352,14 @@ int64_t whell_gather_assign_par(
 // Parallel slab scatter: entries land at distinct (slot, lane) cells by
 // construction, so the three scatters are race-free.  `vals` may be any
 // element size (bytes memcpy'd) — fp32/fp64/bf16 slabs share the path.
+// The global slot index is derived in-loop from the per-group tile base
+// (slot = g_tile0[gid]*8 + k), saving three m-sized host temporaries.
 void whell_scatter_slabs(
     const int64_t* order,       // [m] sorted entry permutation
     const char* vals_raw,       // [raw] entry values, elem_size bytes each
-    const int64_t* slot_glob,   // [m] global slot index (sorted order)
+    const int64_t* g_tile0,     // [ngroups] first tile of each group
+    const int64_t* gid,         // [m] group index (sorted order)
+    const int64_t* k,           // [m] slot within group (sorted order)
     const int64_t* lane,        // [m] lane (sorted order)
     const int8_t* res,          // [m] residue (sorted order)
     const int8_t* dlt,          // [m] page delta (sorted order)
@@ -363,16 +367,19 @@ void whell_scatter_slabs(
     int64_t elem_size,
     char* vals_slab,            // [total_slots*128*elem_size] zeroed
     int8_t* res_slab,           // [total_slots*128] zeroed
-    int8_t* pt_slab             // [total_slots*128] zeroed
+    int8_t* pt_slab,            // [total_slots*128] zeroed
+    int64_t* slot_out           // [m] global slot (for pattern-reuse plans)
 ) {
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < m; ++i) {
-        const int64_t cell = slot_glob[i] * 128 + lane[i];
+        const int64_t slot = g_tile0[gid[i]] * 8 + k[i];
+        const int64_t cell = slot * 128 + lane[i];
         const int64_t j = order[i];
         for (int64_t b = 0; b < elem_size; ++b)
             vals_slab[cell * elem_size + b] = vals_raw[j * elem_size + b];
         res_slab[cell] = res[i];
-        pt_slab[slot_glob[i] * 128 + res[i]] = dlt[i];
+        pt_slab[slot * 128 + res[i]] = dlt[i];
+        slot_out[i] = slot;
     }
 }
 
