@@ -339,3 +339,34 @@ def test_way_split_rows():
         a = coo_to_whell(coo, ways=w)
         z = whell_spmv_pallas(a, jnp.asarray(x), interpret=True)
         np.testing.assert_allclose(np.asarray(z), ref, rtol=3e-5, atol=3e-5)
+
+
+def test_slab_guard_and_padding_warning(monkeypatch):
+    """Structure-less matrices defeat windowed layouts (measured ~32x
+    padding on uniformly-random COO): the builder must warn on high
+    padding and refuse runaway slabs with actionable guidance rather
+    than allocate tens of GB (contrast diaPerf's memory-fit fallback,
+    ``diaPerf.cpp:174-183``)."""
+    import warnings
+    import spgpu_tpu.convert.whell as W
+
+    coo = random_irregular(100_000, 100_000, avg_nnz_per_row=16.0, seed=3,
+                           dtype=np.float32)
+    with warnings.catch_warnings(record=True) as wl:
+        warnings.simplefilter("always")
+        a = coo_to_whell(coo, packed=True)
+    assert a.values.size / coo.nnz > 8.0  # precondition: bad layout fit
+    assert any("padding" in str(w.message) for w in wl)
+
+    monkeypatch.setattr(W, "_SLAB_GUARD_BYTES", 1_000_000)
+    with pytest.raises(ValueError, match="column locality"):
+        coo_to_whell(coo, packed=True)
+
+
+def test_malloc_tuning_active():
+    """Package import applies the host allocator tuning (hostmem.py);
+    conversions rely on it for steady-state speed on microVM hosts."""
+    from spgpu_tpu.utils.hostmem import prefault, tune_malloc
+
+    assert tune_malloc()  # idempotent; True on linux/glibc
+    prefault(1 << 20)  # smoke: touch 1 MiB through the tuned heap
