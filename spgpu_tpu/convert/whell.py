@@ -179,9 +179,11 @@ def coo_to_whell(
         # gh=128/ct=256 -> pad 2.47x, 76.5.  Small matrices scale the
         # geometry down so the per-group chunk floor doesn't dominate;
         # dd kernels unroll ~4x more ops per tile so their chunks stay
-        # at 16 tiles to keep the Mosaic compile tractable.
+        # small (<=32 tiles) to keep the Mosaic compile tractable.
+        # dd sweep (1.3M-nnz Laplacian, honest chip timing): gh=32/ct=16
+        # 12.3 GFLOPS pad 2.40; gh=128/ct=32 16.0 GFLOPS pad 2.00.
         if is_dd_vals:
-            ct = 16
+            ct = 32 if est_tiles >= 128 else 16
         elif scattered:
             ct = 128 if est_tiles >= 512 else (64 if est_tiles >= 128 else 32)
         elif est_tiles >= 2048:
@@ -193,7 +195,7 @@ def coo_to_whell(
         else:
             ct = 32
         if is_dd_vals:
-            gh = 32
+            gh = 128 if num_hacks >= 128 else 32
         elif scattered and num_hacks >= 512:
             gh = 512
         elif num_hacks >= 128:
