@@ -136,7 +136,13 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
       on the last chunk of each 8-hack group the scratch is slot-summed,
       prefix-scanned along lanes, and compacted into per-row outputs via
       the ``seg_lo``/``seg_hi`` gather (rows own lane SEGMENTS sized by
-      degree — the anti-raggedness layout, formats/whell.py).
+      degree — the anti-raggedness layout, formats/whell.py);
+    * dual accumulators — even/odd tiles write DISJOINT scratch planes
+      (summed at flush), so consecutive tiles' read-modify-write chains
+      are independent.  Measured on chip (fp32 flagship): the single-
+      plane RMW serialises successive tiles and costs ~1 cyc/tile of
+      the ~12-cycle budget; two planes recover it (94 -> 102 GFLOPS).
+      Four planes lose (reset/reduce overhead grows with gh).
     """
     if scattered:
         (tmeta_ref, cgroup_ref, gbase_ref, vals_ref, res_ref, pt_ref,
@@ -192,7 +198,7 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
                     h1 = jnp.where(blk == wb, hb, h1)
         g = jnp.take_along_axis(h1, res, axis=1)
         v = vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype)
-        zacc[pl.ds(hh, 1), :, :] += (v * g)[None]
+        zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += (v * g)[None]
 
     # flush: last chunk of this 8-hack group (trailing -1 sentinel makes
     # the final chunk compare unequal)
@@ -200,7 +206,8 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
 
     @pl.when(last)
     def _():
-        y = jnp.sum(zacc[:], axis=1)  # (group_hacks, 128): slot-sum
+        acc = zacc[:].reshape(2, group_hacks, 8, 128).sum(axis=0)
+        y = jnp.sum(acc, axis=1)  # (group_hacks, 128): slot-sum
         # inclusive prefix scan along lanes (static shifts lower to lane
         # shifts; 7 rounds)
         p = y
@@ -239,7 +246,7 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
         ],
         out_specs=pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
         scratch_shapes=[
-            pltpu.VMEM((gh, 8, 128), x2d.dtype),  # group accumulator
+            pltpu.VMEM((2 * gh, 8, 128), x2d.dtype),  # dual accumulators
             pltpu.VMEM((x_pages, 128), x2d.dtype),
             pltpu.SemaphoreType.DMA,
         ],
