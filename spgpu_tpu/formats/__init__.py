@@ -16,7 +16,7 @@ rows — the exact analogue of the coalesced column-major ELL walk.
 from spgpu_tpu.formats.coo import CooMatrix
 from spgpu_tpu.formats.ell import EllMatrix
 from spgpu_tpu.formats.hell import HellMatrix
-from spgpu_tpu.formats.dia import DiaMatrix
+from spgpu_tpu.formats.dia import DiaMatrix, SdiaMatrix
 from spgpu_tpu.formats.hdia import HdiaMatrix
 from spgpu_tpu.formats.bcoo import BcooMatrix, BhdiaMatrix
 from spgpu_tpu.formats.whell import WhellMatrix
@@ -27,6 +27,7 @@ __all__ = [
     "EllMatrix",
     "HellMatrix",
     "DiaMatrix",
+    "SdiaMatrix",
     "HdiaMatrix",
     "BcooMatrix",
     "BhdiaMatrix",

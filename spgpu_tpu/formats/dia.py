@@ -64,3 +64,60 @@ class DiaMatrix:
             sel = (cols >= 0) & (cols < self.n_cols)
             out[rows[sel], cols[sel]] = vals[j, : self.n_rows][sel]
         return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SdiaMatrix:
+    """Static-offset DIA — the TPU compute layout for stencil matrices.
+
+    The reference ships dedicated DIA SpMV kernels whose device loop
+    walks shared-memory-staged diagonal offsets
+    (``dia_spmv_base_template.cuh:35-49,133-135``).  The TPU-native
+    answer bakes the offsets into the *compiled program* instead: they
+    are static Python ints, so each diagonal's x operand lowers to one
+    sublane-aligned dynamic slice plus one static lane rotation — no
+    gather, no offset table, no bound check (out-of-range cells are
+    zero in ``values`` by construction, and the padded x margins are
+    zero).  Recompilation happens per offset *tuple*, which for the
+    stencil matrices this format targets is fixed across a solve.
+
+    ``values`` planes are pre-tiled ``(n_diags, n_tiles*8, 128)`` with
+    row ``i`` at ``[j, i // 128, i % 128]`` (row-major lane-fastest,
+    tiles of 1024 rows), so the kernel streams them with zero reshaping.
+    """
+
+    values: jax.Array  # (n_diags, n_tiles*8, 128)
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def n_diags(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.values.shape[1] // 8
+
+    @property
+    def storage_bytes(self) -> int:
+        return int(self.values.size * self.values.dtype.itemsize)
+
+    def to_dense(self) -> np.ndarray:
+        vals = np.asarray(self.values).reshape(self.n_diags, -1)
+        out = np.zeros((self.n_rows, self.n_cols), dtype=vals.dtype)
+        rows = np.arange(self.n_rows)
+        for j, off in enumerate(self.offsets):
+            cols = rows + off
+            sel = (cols >= 0) & (cols < self.n_cols)
+            out[rows[sel], cols[sel]] = vals[j, : self.n_rows][sel]
+        return out

@@ -32,6 +32,7 @@ __all__ = [
     "spmv",
     "ell_spmv", "hell_spmv", "dia_spmv", "hdia_spmv", "bcoo_spmv",
     "whell_spmv", "whell_spmm", "whdia_spmv", "whdia_spmm",
+    "sdia_spmv", "sdia_spmm",
     "ell_csput", "hell_csput",
 ] + blas1.__all__
 
@@ -64,9 +65,40 @@ def hell_spmv(a: HellMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto")
 def dia_spmv(a: DiaMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
     """``z = beta*y + alpha*(A @ x)`` for DIA; ↔ ``spgpu?diaspmv``."""
     if impl == "pallas":
-        raise ValueError("the Pallas fast path runs on the WHDIA layout: "
-                         "convert.coo_to_whdia + ops.whdia_spmv")
+        raise ValueError("the Pallas fast path runs on the SDIA layout "
+                         "(convert.dia_to_sdia + ops.sdia_spmv) or WHDIA "
+                         "(convert.coo_to_whdia + ops.whdia_spmv)")
     return dia_spmv_xla(a, x, alpha, beta, y)
+
+
+def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+    """SpMV on the SDIA (static-offset DIA) compute layout — the Pallas
+    TPU fast path for stencil/banded matrices with a globally small
+    diagonal set (see :class:`spgpu_tpu.formats.dia.SdiaMatrix`).  Each
+    offset is a compile-time constant; recompiles per offset tuple."""
+    from spgpu_tpu.ops.pallas_kernels import sdia_spmv_pallas
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    return sdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
+
+
+def sdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+    """Multi-RHS SpMM on SDIA (``x``: ``(n_rhs, n_cols)``): one Pallas
+    SpMV per RHS under one jit (same strategy rationale as
+    :func:`whell_spmm`)."""
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    zs = jnp.stack([
+        sdia_spmv(a, x[r], interpret=interpret)
+        for r in range(int(x.shape[0]))
+    ])
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
+    return alpha * zs + beta * y
 
 
 def hdia_spmv(a: HdiaMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
@@ -243,13 +275,14 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
     matrix type (every format dataclass routes to its op)."""
     from spgpu_tpu.formats import (
         BcooMatrix, DiaMatrix, EllMatrix, HdiaMatrix, HellMatrix,
-        WhdiaMatrix, WhellMatrix,
+        SdiaMatrix, WhdiaMatrix, WhellMatrix,
     )
 
     table = {
         EllMatrix: ell_spmv,
         HellMatrix: hell_spmv,
         DiaMatrix: dia_spmv,
+        SdiaMatrix: sdia_spmv,
         HdiaMatrix: hdia_spmv,
         BcooMatrix: bcoo_spmv,
         WhellMatrix: whell_spmv,

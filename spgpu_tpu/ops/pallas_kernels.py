@@ -1095,3 +1095,131 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     if is_zero or y is None:
         return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
     return alpha * acc + beta * y
+
+
+# ---------------------------------------------------------------------------
+# SDIA — static-offset DIA (stencil matrices).  Parity target:
+# spgpu?diaspmv (dia_spmv_base_template.cuh).  The CUDA kernel stages the
+# offset list in shared memory and bound-checks every element; here the
+# offsets are compile-time constants, so each diagonal costs ONE dynamic
+# sublane-aligned slice of VMEM-resident x plus ONE static lane rotation
+# (two static slices + concat) and an fma — no gathers, no page tables,
+# no bound checks (out-of-range cells are zeros in the value planes and
+# the x margins are zero-padded).  Traffic is values-only: 4 B/cell.
+
+
+def _sdia_kernel(vals_ref, x_hbm_ref, z_ref, x_vmem, xsem, *,
+                 offsets, margin_sub, chunk_tiles):
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    zdt = z_ref.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        acc = None
+        for j, o in enumerate(offsets):
+            q, r = divmod(int(o) + margin_sub * 128, 128)
+            a = x_vmem[pl.ds(t * 8 + q, 9), :]
+            if r == 0:
+                yk = a[:8, :]
+            else:
+                # lane rotation: yk[s, l] = x[row+ (l+r)//128, (l+r)%128]
+                # — two hardware lane rolls + one lane-mask select
+                # (Mosaic cannot concat lane-misaligned slices)
+                hi = pltpu.roll(a[:8, :], 128 - r, 1)
+                lo = pltpu.roll(a[1:9, :], 128 - r, 1)
+                yk = jnp.where(lane < 128 - r, hi, lo)
+            contrib = vals_ref[j, k * 8:(k + 1) * 8, :].astype(zdt) * yk
+            acc = contrib if acc is None else acc + contrib
+        z_ref[k * 8:(k + 1) * 8, :] = acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "margin_sub", "x_sub", "chunk_tiles", "interpret"))
+def _sdia_spmv_call(values, x2d, *, offsets, margin_sub, x_sub,
+                    chunk_tiles, interpret=False):
+    nd, rows8, _ = values.shape
+    ct = chunk_tiles
+    n_tiles = rows8 // 8
+    num_chunks = n_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
+        ],
+        out_specs=pl.BlockSpec((ct * 8, 128), lambda c: (c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((x_sub, 128), x2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_sdia_kernel, offsets=offsets,
+                          margin_sub=margin_sub, chunk_tiles=ct),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows8, 128), x2d.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n_tiles * 1024,
+            bytes_accessed=(values.size * values.dtype.itemsize
+                            + x_sub * 128 * x2d.dtype.itemsize
+                            + rows8 * 128 * x2d.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(values, x2d)
+
+
+def _sdia_geometry(a):
+    """(margin_sub, x_sub, chunk_tiles) for an SdiaMatrix."""
+    offs = a.offsets
+    min_off = min(offs) if offs else 0
+    max_off = max(offs) if offs else 0
+    margin_sub = (-min_off + 127) // 128 if min_off < 0 else 0
+    max_q = max(((o + margin_sub * 128) // 128 for o in offs), default=0)
+    n_tiles = a.n_tiles
+    x_sub = max(n_tiles * 8 + max_q + 1,
+                margin_sub + -(-a.n_cols // 128))
+    x_sub = -(-x_sub // 8) * 8
+    nd = max(1, a.n_diags)
+    ct = 16
+    while ct > 1 and (n_tiles % ct or ct * nd > 256):
+        ct //= 2
+    return margin_sub, x_sub, ct
+
+
+def sdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
+                     interpret: bool = False):
+    """``z = beta*y + alpha*(A @ x)`` on the SDIA layout; semantics match
+    ``spgpu?diaspmv`` (``dia_spmv_base.cuh:121-139``)."""
+    if a.n_diags == 0:
+        acc = jnp.zeros((a.n_rows,), x.dtype)
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if is_zero or y is None:
+            return acc
+        return beta * y
+    margin_sub, x_sub, ct = _sdia_geometry(a)
+    nbytes = x_sub * 128 * jnp.dtype(x.dtype).itemsize
+    if nbytes > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"padded x ({nbytes/2**20:.0f} MiB) exceeds the VMEM-resident "
+            f"limit ({_X_VMEM_LIMIT_BYTES/2**20:.0f} MiB); use WHDIA "
+            "(column-panelled) for this size")
+    pad_lo = margin_sub * 128
+    pad_hi = x_sub * 128 - pad_lo - a.n_cols
+    x2d = jnp.pad(x, (pad_lo, pad_hi)).reshape(x_sub, 128)
+    z = _sdia_spmv_call(a.values, x2d, offsets=a.offsets,
+                        margin_sub=margin_sub, x_sub=x_sub,
+                        chunk_tiles=ct, interpret=interpret)
+    acc = z.reshape(-1)[: a.n_rows]
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
+    return alpha * acc + beta * y
