@@ -26,14 +26,23 @@ def _planes_to_sdia(vals, offsets, n_rows, n_cols) -> SdiaMatrix:
     # tiles of 1024 rows, rounded to a multiple of 16 so the kernel's
     # preferred chunk_tiles always divides (extra tiles are zero planes)
     n_tiles = -(-max(1, -(-n_rows // 1024)) // 16) * 16
+    is_dd = np.dtype(vals.dtype) == np.float64
+    dt = np.float32 if is_dd else vals.dtype
     planes = np.zeros((max(n_diags, 1), n_tiles * 1024), dtype=vals.dtype)
     ncopy = min(vals.shape[1], n_tiles * 1024)
     planes[:n_diags, :ncopy] = vals[:, :ncopy]
+    shape3 = (max(n_diags, 1), n_tiles * 8, 128)
+    lo = None
+    if is_dd:
+        hi = planes.astype(np.float32)
+        lo = (planes - hi).astype(np.float32)
+        planes = hi
     return SdiaMatrix(
-        values=jnp.asarray(planes.reshape(max(n_diags, 1), n_tiles * 8, 128)),
+        values=jnp.asarray(planes.reshape(shape3).astype(dt)),
         offsets=tuple(int(o) for o in offsets),
         n_rows=n_rows,
         n_cols=n_cols,
+        values_lo=None if lo is None else jnp.asarray(lo.reshape(shape3)),
     )
 
 

@@ -91,6 +91,8 @@ class SdiaMatrix:
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
+    #: double-float low planes (float64 input split hi/lo fp32; ops/dd.py)
+    values_lo: "jax.Array | None" = None
 
     @property
     def shape(self):
@@ -99,6 +101,10 @@ class SdiaMatrix:
     @property
     def dtype(self):
         return self.values.dtype
+
+    @property
+    def is_dd(self) -> bool:
+        return self.values_lo is not None
 
     @property
     def n_diags(self) -> int:
@@ -110,10 +116,16 @@ class SdiaMatrix:
 
     @property
     def storage_bytes(self) -> int:
-        return int(self.values.size * self.values.dtype.itemsize)
+        n = int(self.values.size * self.values.dtype.itemsize)
+        if self.values_lo is not None:
+            n += int(self.values_lo.size * self.values_lo.dtype.itemsize)
+        return n
 
     def to_dense(self) -> np.ndarray:
-        vals = np.asarray(self.values).reshape(self.n_diags, -1)
+        vals = np.asarray(self.values).reshape(max(self.n_diags, 1), -1)
+        if self.values_lo is not None:
+            vals = vals.astype(np.float64) + np.asarray(
+                self.values_lo).reshape(vals.shape)
         out = np.zeros((self.n_rows, self.n_cols), dtype=vals.dtype)
         rows = np.arange(self.n_rows)
         for j, off in enumerate(self.offsets):

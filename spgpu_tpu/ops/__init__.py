@@ -76,10 +76,31 @@ def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
     TPU fast path for stencil/banded matrices with a globally small
     diagonal set (see :class:`spgpu_tpu.formats.dia.SdiaMatrix`).  Each
     offset is a compile-time constant; recompiles per offset tuple."""
-    from spgpu_tpu.ops.pallas_kernels import sdia_spmv_pallas
+    from spgpu_tpu.ops.pallas_kernels import (
+        sdia_spmv_dd_pallas,
+        sdia_spmv_pallas,
+    )
 
     if interpret is None:
         interpret = not _on_tpu()
+    if getattr(a, "is_dd", False):
+        import jax.numpy as jnp
+
+        from spgpu_tpu.ops import dd as _dd
+
+        if a.n_diags == 0:
+            acc = jnp.zeros((2, a.n_rows), jnp.float32)
+        else:
+            acc = sdia_spmv_dd_pallas(a, x, interpret=interpret)
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if (is_zero or y is None) and isinstance(alpha, (int, float)) and alpha == 1:
+            return acc
+        ah, al = _dd.dd_mul(acc[0], acc[1], jnp.float32(alpha), jnp.float32(0.0))
+        if is_zero or y is None:
+            return jnp.stack([ah, al])
+        bh, bl = _dd.dd_mul(y[0], y[1], jnp.float32(beta), jnp.float32(0.0))
+        h, l = _dd.dd_add_dd(ah, al, bh, bl)
+        return jnp.stack([h, l])
     return sdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 

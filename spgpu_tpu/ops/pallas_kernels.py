@@ -1177,11 +1177,10 @@ def _sdia_spmv_call(values, x2d, *, offsets, margin_sub, x_sub,
     )(values, x2d)
 
 
-def _sdia_geometry(a):
+def _sdia_geometry(a, dd: bool = False):
     """(margin_sub, x_sub, chunk_tiles) for an SdiaMatrix."""
     offs = a.offsets
     min_off = min(offs) if offs else 0
-    max_off = max(offs) if offs else 0
     margin_sub = (-min_off + 127) // 128 if min_off < 0 else 0
     max_q = max(((o + margin_sub * 128) // 128 for o in offs), default=0)
     n_tiles = a.n_tiles
@@ -1189,8 +1188,11 @@ def _sdia_geometry(a):
                 margin_sub + -(-a.n_cols // 128))
     x_sub = -(-x_sub // 8) * 8
     nd = max(1, a.n_diags)
+    # bound the unrolled body: ~5 vector ops per (tile, diag) fp32,
+    # ~16 dd — keep Mosaic compiles in budget (verify skill notes)
     ct = 16
-    while ct > 1 and (n_tiles % ct or ct * nd > 256):
+    budget = 96 if dd else 256
+    while ct > 1 and (n_tiles % ct or ct * nd > budget):
         ct //= 2
     return margin_sub, x_sub, ct
 
@@ -1223,3 +1225,115 @@ def sdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     if is_zero or y is None:
         return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
     return alpha * acc + beta * y
+
+
+def _sdia_xwin(a9, r, lane):
+    """Shifted x window: ``yk[s, l] = flat_x[base + s*128 + l + r]`` from
+    a 9-sublane slice ``a9`` — two lane rolls + one lane-mask select."""
+    if r == 0:
+        return a9[:8, :]
+    hi = pltpu.roll(a9[:8, :], 128 - r, 1)
+    lo = pltpu.roll(a9[1:9, :], 128 - r, 1)
+    return jnp.where(lane < 128 - r, hi, lo)
+
+
+def _sdia_dd_kernel(vh_ref, vl_ref, x_hbm_ref, z_ref, x_vmem, xsem, *,
+                    offsets, margin_sub, chunk_tiles, interpret):
+    """Double-float SDIA SpMV (D-precision parity with dia_dspmv.cu).
+
+    Same static slice/rotate scheme as :func:`_sdia_kernel`; values and
+    x are (hi, lo) fp32 pairs, the per-diagonal product is TwoProd and
+    the across-diagonal accumulation stays in registers (each output
+    tile is written exactly once — no RMW chain at all)."""
+    with __import__("contextlib").ExitStack() as _stack:
+        from spgpu_tpu.ops import dd as _ddmod
+
+        if not interpret:
+            _stack.enter_context(_ddmod.unguarded())
+        from spgpu_tpu.ops.dd import fast_two_sum, two_prod, two_sum
+
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+            dma.start()
+            dma.wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        for k in range(chunk_tiles):
+            t = c * chunk_tiles + k
+            ah = al = None
+            for j, o in enumerate(offsets):
+                q, r = divmod(int(o) + margin_sub * 128, 128)
+                yh = _sdia_xwin(x_vmem[0, pl.ds(t * 8 + q, 9), :], r, lane)
+                yl = _sdia_xwin(x_vmem[1, pl.ds(t * 8 + q, 9), :], r, lane)
+                vh = vh_ref[j, k * 8:(k + 1) * 8, :]
+                vl = vl_ref[j, k * 8:(k + 1) * 8, :]
+                p, e = two_prod(vh, yh)
+                e = e + (vh * yl + vl * yh)
+                if ah is None:
+                    ah, al = fast_two_sum(p, e)
+                else:
+                    s, e2 = two_sum(ah, p)
+                    ah, al = fast_two_sum(s, e2 + al + e)
+            z_ref[0, k * 8:(k + 1) * 8, :] = ah
+            z_ref[1, k * 8:(k + 1) * 8, :] = al
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "margin_sub", "x_sub", "chunk_tiles", "interpret"))
+def _sdia_dd_call(values, values_lo, x3d, *, offsets, margin_sub, x_sub,
+                  chunk_tiles, interpret=False):
+    nd, rows8, _ = values.shape
+    ct = chunk_tiles
+    n_tiles = rows8 // 8
+    num_chunks = n_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, x_sub, 128)
+        ],
+        out_specs=pl.BlockSpec((2, ct * 8, 128), lambda c: (0, c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, x_sub, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_sdia_dd_kernel, offsets=offsets,
+                          margin_sub=margin_sub, chunk_tiles=ct,
+                          interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, rows8, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=30 * nd * n_tiles * 1024,
+            bytes_accessed=(2 * values.size * 4
+                            + 2 * x_sub * 128 * 4 + 2 * rows8 * 128 * 4),
+            transcendentals=0,
+        ),
+    )(values, values_lo, x3d)
+
+
+def sdia_spmv_dd_pallas(a, x_pair, interpret: bool = False):
+    """Double-float SDIA SpMV; ``x_pair``: ``(2, n_cols)`` fp32 stack."""
+    if not a.is_dd:
+        raise ValueError("sdia_spmv_dd requires dd values "
+                         "(coo_to_sdia on float64)")
+    margin_sub, x_sub, ct = _sdia_geometry(a, dd=True)
+    nbytes = 2 * x_sub * 128 * 4
+    if nbytes > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"padded dd x ({nbytes/2**20:.0f} MiB) exceeds the VMEM "
+            "budget; use WHDIA for this size")
+    pad_lo = margin_sub * 128
+    pad_hi = x_sub * 128 - pad_lo - a.n_cols
+    x3d = jnp.pad(x_pair, ((0, 0), (pad_lo, pad_hi))).reshape(2, x_sub, 128)
+    z = _sdia_dd_call(a.values, a.values_lo, x3d, offsets=a.offsets,
+                      margin_sub=margin_sub, x_sub=x_sub,
+                      chunk_tiles=ct, interpret=interpret)
+    return z.reshape(2, -1)[:, : a.n_rows]

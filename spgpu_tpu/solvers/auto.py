@@ -31,7 +31,8 @@ def solve(
     """Solve ``A x = b`` for a square host COO.
 
     ``symmetric=True`` runs CG (SPD systems), else BiCGSTAB.  ``fmt``
-    overrides the automatic layout choice ("whell" | "whdia" | "hell").
+    overrides the automatic layout choice
+    ("whell" | "sdia" | "whdia" | "hell").
     Returns a :class:`~spgpu_tpu.solvers.cg.CgResult` whose ``x`` is in
     the ORIGINAL row numbering (relabelling is internal).
     """
@@ -39,11 +40,12 @@ def solve(
 
     from spgpu_tpu.convert import (
         coo_to_hell,
+        coo_to_sdia,
         coo_to_whdia,
         coo_to_whell,
         suggest_format,
     )
-    from spgpu_tpu.ops import hell_spmv, whdia_spmv, whell_spmv
+    from spgpu_tpu.ops import hell_spmv, sdia_spmv, whdia_spmv, whell_spmv
     from spgpu_tpu.solvers.cg import bicgstab, cg, jacobi_preconditioner
 
     if coo.n_rows != coo.n_cols:
@@ -63,7 +65,13 @@ def solve(
     if fmt is None:
         fmt = suggest_format(coo)
         if fmt in ("dia", "ell"):  # compute layouts for the chosen class
-            fmt = {"dia": "whdia", "ell": "whell"}[fmt]
+            fmt = {"dia": "sdia", "ell": "whell"}[fmt]
+        if fmt == "sdia":
+            # SDIA keeps the whole x in VMEM; past the budget fall back
+            # to the windowed WHDIA layout (diaPerf's DIA->HDIA fallback)
+            itemsize = 8 if coo.values.dtype == np.float64 else 4
+            if coo.n_cols * itemsize > 11 * 2**20:
+                fmt = "whdia"
 
     work = coo
     lane_embed = None  # original-index -> lane-space map (packed WHELL)
@@ -78,6 +86,10 @@ def solve(
         mv = lambda v: whell_spmv(a, v)
         lane_embed = np.asarray(a.lane_of_row)
         n_lane = a.n_rows
+        is_dd = a.is_dd
+    elif fmt == "sdia":
+        a = coo_to_sdia(work)
+        mv = lambda v: sdia_spmv(a, v)
         is_dd = a.is_dd
     elif fmt == "whdia":
         a = coo_to_whdia(work)

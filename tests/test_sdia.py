@@ -106,3 +106,42 @@ def test_sdia_is_pytree_leaf_static_offsets():
     assert len(leaves) == 1  # only values; offsets/shape are static
     b = jax.tree_util.tree_unflatten(treedef, leaves)
     assert b.offsets == a.offsets
+
+
+def test_dd_fp64():
+    coo = laplacian_2d(30, 30, dtype=np.float64)
+    a = convert.coo_to_sdia(coo)
+    assert a.is_dd
+    from spgpu_tpu.ops import dd
+
+    x = np.random.default_rng(9).standard_normal(coo.n_cols)
+    gold = coo.spmv(x)
+    xp = jnp.asarray(dd.split(x))
+    z = ops.sdia_spmv(a, xp)
+    z64 = dd.join(np.asarray(z))
+    np.testing.assert_allclose(z64, gold, rtol=0,
+                               atol=1e-13 * np.abs(gold).max())
+
+
+def test_solve_auto_picks_sdia():
+    from spgpu_tpu.solvers import solve
+
+    coo = laplacian_2d(24, 24, dtype=np.float32)
+    b = np.ones(coo.n_rows, np.float32)
+    res = solve(coo, b, tol=1e-5, fmt="sdia")
+    r = b - coo.spmv(np.asarray(res.x))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-4
+    # auto selection routes the stencil class to sdia
+    from spgpu_tpu.convert import suggest_format
+
+    assert suggest_format(coo) == "dia"
+
+
+def test_solve_dd_sdia():
+    from spgpu_tpu.solvers import solve
+
+    coo = laplacian_2d(16, 16, dtype=np.float64)
+    b = np.ones(coo.n_rows, np.float64)
+    res = solve(coo, b, tol=1e-11, fmt="sdia")
+    r = b - coo.spmv(np.asarray(res.x))
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
