@@ -71,6 +71,7 @@ def run_config(
     iters: int = 20,
     seed: int = 1,
     flops_factor: float = 1.0,
+    make_x: Optional[Callable] = None,
 ) -> BenchResult:
     """Measure one (matrix, format) pair with the §3.5 protocol."""
     import jax
@@ -80,14 +81,17 @@ def run_config(
     from spgpu_tpu.ops.blas1 import dot
 
     a = convert(coo)
-    # packed layouts run in lane space: size x by the converted matrix
-    x = jnp.asarray(
-        np.random.default_rng(seed).standard_normal(
-            getattr(a, "n_cols", coo.n_cols)),
-        coo.values.dtype,
-    )
+    if make_x is not None:
+        x = make_x(a, coo, np.random.default_rng(seed))
+    else:
+        # packed layouts run in lane space: size x by the converted matrix
+        x = jnp.asarray(
+            np.random.default_rng(seed).standard_normal(
+                getattr(a, "n_cols", coo.n_cols)),
+            coo.values.dtype,
+        )
     z = spmv(a, x)  # warm-up
-    checksum = float(dot(z, z))
+    checksum = float(np.asarray(dot(z, z)).sum())
     t = _time_chained(spmv, a, x, iters)
     nnz = coo.nnz
     gflops = flops_factor * (2.0 * nnz - 1.0) / t * 1e-9
@@ -178,6 +182,46 @@ def run_suite(size: str = "small", out=print):
         # 4B value + 2B lane-replicated r0 per cell (formats/whdia.py)
         lambda a, coo: a.values.size * 6 + coo.n_rows * 8,
         iters=200 if big else 5,
+    ))
+
+    # -- SDIA on stencil matrices (static-offset DIA; the spgpu?diaspmv
+    # parity class).  Straight band + 2-D Laplacian; values-only traffic.
+    from spgpu_tpu.convert import coo_to_sdia
+    from spgpu_tpu.ops import sdia_spmv
+
+    band_s = random_banded(
+        (1 << 19) if big else 20000, bands=11, wander=0, seed=2,
+        dtype=np.float32,
+    ).sum_duplicates()
+    sdia_traffic = lambda a, coo: (
+        a.storage_bytes + (coo.n_rows + coo.n_cols)
+        * np.dtype(np.float32).itemsize)
+    emit(run_config(
+        "banded_straight", "sdia_pallas", band_s, coo_to_sdia,
+        lambda a, x: sdia_spmv(a, x),
+        sdia_traffic, iters=200 if big else 5,
+    ))
+    lap_big = laplacian_2d(1024 if big else 48, 1024 if big else 48,
+                           np.float32)
+    emit(run_config(
+        "laplacian_2d", "sdia_pallas", lap_big, coo_to_sdia,
+        lambda a, x: sdia_spmv(a, x),
+        sdia_traffic, iters=200 if big else 5,
+    ))
+
+    # -- SDIA double-float (fp64) — D-precision dia_dspmv parity row
+    from spgpu_tpu.ops import dd as _ddmod
+
+    lap_dd = laplacian_2d(1024 if big else 32, 1024 if big else 32,
+                          np.float64)
+    emit(run_config(
+        "laplacian_2d_fp64", "sdia_dd_pallas", lap_dd, coo_to_sdia,
+        lambda a, x: sdia_spmv(a, x),
+        lambda a, coo: (a.storage_bytes
+                        + (coo.n_rows + coo.n_cols) * 8),
+        iters=(100 if big else 3),
+        make_x=lambda a, coo, rng: jnp.asarray(
+            _ddmod.split(rng.standard_normal(coo.n_cols))),
     ))
 
     # -- 8-RHS SpMM: Pallas loop-of-SpMV on WHELL ------------------------
