@@ -763,14 +763,22 @@ def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
 
 
 def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
-                  x_hbm_ref, z_ref, x_vmem, xsem, *, window_pages,
-                  chunk_tiles=_WHDIA_CT):
+                  x_hbm_ref, z_ref, zacc, x_vmem, xsem, *, window_pages,
+                  chunk_tiles=_WHDIA_CT, group_hacks=32):
     """WHDIA SpMV: near-values-only traffic.  Each slot's x window is the
     contiguous rotation x[h*128 + d + lane]; both gather index sets are
     reconstructed arithmetically from r0 (see formats/whdia.py), which is
     streamed as a lane-replicated int16 slab so every per-tile op is a
     vector op — the earlier per-slot SMEM scalars cost an 8-load unpack
-    chain per tile that left the kernel latency-bound."""
+    chain per tile that left the kernel latency-bound.
+
+    Accumulation mirrors the packed-WHELL kernel: even/odd tiles RMW
+    DISJOINT dual VMEM scratch planes (breaking the serialised per-tile
+    read-modify-write chain), and the last chunk of each group flushes
+    the plane+slot sum into a (group_hacks, 128) output block — the
+    slot reduction that used to run as a post-kernel ``sum(axis=1)``
+    over an 8x larger HBM output now happens in VMEM, cutting z write
+    traffic 8x (~25% of total on banded configs)."""
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -785,7 +793,7 @@ def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
 
     @pl.when(first)
     def _():
-        z_ref[:] = jnp.zeros_like(z_ref)
+        zacc[:] = jnp.zeros_like(zacc)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     for k in range(chunk_tiles):
@@ -816,7 +824,19 @@ def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
         g = jnp.take_along_axis(h1, idx, axis=1)
         contrib = vals_ref[k * 8:(k + 1) * 8, :] * g
         hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
-        z_ref[pl.ds(hh, 1), :, :] += contrib[None]
+        zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += contrib[None]
+
+    # flush: last chunk of this group (chunk_group has no trailing
+    # sentinel, so the lookahead is clamped to the final chunk, which is
+    # always a flush)
+    nc = pl.num_programs(0)
+    last = jnp.logical_or(
+        c == nc - 1, cgroup_ref[c] != cgroup_ref[jnp.minimum(c + 1, nc - 1)])
+
+    @pl.when(last)
+    def _():
+        acc = zacc[:].reshape(2, group_hacks, 8, 128)
+        z_ref[:] = acc.sum(axis=(0, 2))
 
 
 @functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles", "group_hacks", "interpret"))
@@ -835,18 +855,19 @@ def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
             pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
         ],
         out_specs=pl.BlockSpec(
-            (gh, 8, 128), lambda c, tm, cg: (cg[c], 0, 0)
+            (gh, 128), lambda c, tm, cg: (cg[c], 0)
         ),
         scratch_shapes=[
+            pltpu.VMEM((2 * gh, 8, 128), values.dtype),  # dual accumulators
             pltpu.VMEM((x_pages, 128), values.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    acc = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_whdia_kernel, window_pages=window_pages,
-                          chunk_tiles=ct),
+                          chunk_tiles=ct, group_hacks=gh),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_groups * gh, 8, 128), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), values.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128,
@@ -854,7 +875,6 @@ def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
             transcendentals=0,
         ),
     )(tile_base, chunk_group, values, slot_r0, x2d)
-    return acc.sum(axis=1)
 
 
 def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
