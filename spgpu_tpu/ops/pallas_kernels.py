@@ -896,19 +896,24 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
 
 
 def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
-                     x_hbm_ref, z_ref, x_vmem, xsem, *, window_pages,
-                     chunk_tiles, interpret):
+                     x_hbm_ref, z_ref, zacc, x_vmem, xsem, *, window_pages,
+                     chunk_tiles, group_hacks, interpret):
     """Double-float WHDIA SpMV (D-precision parity with hdia_dspmv.cu).
 
     Same index arithmetic as :func:`_whdia_kernel`; values and x are
-    (hi, lo) fp32 pairs, accumulation is error-free (ops/dd.py), and
-    both planes RMW the (2, 32, 8, 128) output block."""
+    (hi, lo) fp32 pairs and accumulation is error-free (ops/dd.py).
+    Even/odd tiles accumulate into DISJOINT dual VMEM scratch planes
+    (the fp32 kernel's RMW-chain break), and the group flush reduces
+    parity planes + 8 slot positions error-free in VMEM, writing a
+    (2, group_hacks, 128) block — 8x less z traffic than the old
+    (2, ·, 8, 128) output with its XLA dd epilogue."""
     with __import__("contextlib").ExitStack() as _stack:
         from spgpu_tpu.ops import dd as _ddmod
 
         if not interpret:
             _stack.enter_context(_ddmod.unguarded())
-        from spgpu_tpu.ops.dd import fast_two_sum, two_prod, two_sum
+        from spgpu_tpu.ops.dd import (dd_add_dd, fast_two_sum, two_prod,
+                                      two_sum)
 
         c = pl.program_id(0)
 
@@ -924,7 +929,7 @@ def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
 
         @pl.when(first)
         def _():
-            z_ref[:] = jnp.zeros_like(z_ref)
+            zacc[:] = jnp.zeros_like(zacc)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         for k in range(chunk_tiles):
@@ -959,12 +964,30 @@ def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
             p, e = two_prod(vh, g_hi)
             e = e + (vh * g_lo + vl * g_hi)
             hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
-            ah = z_ref[0, pl.ds(hh, 1), :, :]
-            al = z_ref[1, pl.ds(hh, 1), :, :]
+            slot = hh + (k % 2) * group_hacks
+            ah = zacc[0, pl.ds(slot, 1), :, :]
+            al = zacc[1, pl.ds(slot, 1), :, :]
             s, e2 = two_sum(ah, p[None])
             nh, nl = fast_two_sum(s, e2 + al + e[None])
-            z_ref[0, pl.ds(hh, 1), :, :] = nh
-            z_ref[1, pl.ds(hh, 1), :, :] = nl
+            zacc[0, pl.ds(slot, 1), :, :] = nh
+            zacc[1, pl.ds(slot, 1), :, :] = nl
+
+        nc = pl.num_programs(0)
+        last = jnp.logical_or(
+            c == nc - 1,
+            cgroup_ref[c] != cgroup_ref[jnp.minimum(c + 1, nc - 1)])
+
+        @pl.when(last)
+        def _():
+            gh = group_hacks
+            acch = zacc[0].reshape(2, gh, 8, 128)
+            accl = zacc[1].reshape(2, gh, 8, 128)
+            hi, lo = dd_add_dd(acch[0], accl[0], acch[1], accl[1])
+            ph, plo = hi[:, 0], lo[:, 0]
+            for s in range(1, 8):
+                ph, plo = dd_add_dd(ph, plo, hi[:, s], lo[:, s])
+            z_ref[0] = ph
+            z_ref[1] = plo
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -986,19 +1009,21 @@ def _whdia_dd_call(values, values_lo, slot_r0, tile_base, chunk_group,
             pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, pages, 128)
         ],
         out_specs=pl.BlockSpec(
-            (2, gh, 8, 128), lambda c, tm, cg: (0, cg[c], 0, 0)
+            (2, gh, 128), lambda c, tm, cg: (0, cg[c], 0)
         ),
         scratch_shapes=[
+            pltpu.VMEM((2, 2 * gh, 8, 128), jnp.float32),  # dual dd planes
             pltpu.VMEM((2, x_pages, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    acc = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_whdia_dd_kernel, window_pages=window_pages,
-                          chunk_tiles=ct, interpret=interpret),
+                          chunk_tiles=ct, group_hacks=gh,
+                          interpret=interpret),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (2, num_groups * gh, 8, 128), jnp.float32),
+            (2, num_groups * gh, 128), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=30 * num_tiles * 8 * 128,
@@ -1006,13 +1031,6 @@ def _whdia_dd_call(values, values_lo, slot_r0, tile_base, chunk_group,
             transcendentals=0,
         ),
     )(tile_base, chunk_group, values, values_lo, slot_r0, x3d)
-    # dd slot-sum epilogue (XLA): reduce the 8 slot positions error-free
-    from spgpu_tpu.ops.dd import dd_add_dd
-
-    ph, plo = acc[0, :, 0], acc[1, :, 0]
-    for s in range(1, 8):
-        ph, plo = dd_add_dd(ph, plo, acc[0, :, s], acc[1, :, s])
-    return jnp.stack([ph, plo])
 
 
 def whdia_spmv_dd_pallas(a, x_pair, interpret: bool = False):
