@@ -83,8 +83,11 @@ def main():
     # actual traffic: value slab + int8 residue/page-table slabs + x + z.
     # NOTE vs round 1: the packed layout moves ~2.8x FEWER bytes for the
     # same 2*nnz work, so the bytes-moved roofline fraction DROPS while
-    # GFLOPS (the cross-round comparable number, +71% over r1) rises —
-    # the kernel is VPU-op-bound, not bandwidth-bound (BASELINE.md).
+    # GFLOPS (the cross-round comparable number, 5.8x r1) rises.
+    # vs_baseline is computed against the 819 GB/s SPEC bandwidth; the
+    # measured achievable Pallas streaming rate is 747 GB/s (0.91 of
+    # spec, doc/DESIGN.md §2f), so 0.65 here = 0.71 of achievable, with
+    # the gap being ~3.8 ns/tile of diffuse per-tile compute.
     slab = int(a.values.size) * (4 + 1 + 1)
     bytes_moved = slab + a.n_cols * 4 * 2
     bw = hbm_bandwidth(dev)
