@@ -54,7 +54,10 @@ def main():
                           seed=0, dtype=np.float32)
     # packed-lane layout (r2): proportional lane segments kill the
     # power-law raggedness (pad 5.9x -> 2.7x measured) and the product
-    # runs in lane space end-to-end (solver-ready, like the r1 relabel)
+    # runs in lane space end-to-end (solver-ready, like the r1 relabel).
+    # Default geometry (gh=512): gh=1024 cuts padding 1.74x -> 1.68x but
+    # measures time-neutral (op-bound kernel) and its 8.4 MB accumulator
+    # scratch leaves no scoped-VMEM headroom (doc/DESIGN.md §2c-2)
     a = coo_to_whell(coo, packed=True)
     nnz = coo.nnz
     x = jnp.asarray(

@@ -224,6 +224,46 @@ def run_suite(size: str = "small", out=print):
             _ddmod.split(rng.standard_normal(coo.n_cols))),
     ))
 
+    # -- WHELL double-float (fp64) — D-precision hellspmv parity row
+    lap_wdd = laplacian_2d(512 if big else 32, 512 if big else 32,
+                           np.float64)
+    emit(run_config(
+        "laplacian_2d_fp64", "whell_dd_pallas", lap_wdd,
+        lambda c: coo_to_whell(c, packed=True),
+        lambda a, x: whell_spmv(a, x),
+        # hi+lo fp32 value planes (8 B) + int16 index slab (2 B) per
+        # cell; dd x and z are (2, n) fp32 stacks
+        lambda a, coo: a.values.size * 10 + a.n_rows * 16,
+        iters=(50 if big else 3),
+        make_x=lambda a, coo, rng: jnp.asarray(
+            np.stack(_ddmod.split(rng.standard_normal(a.n_cols))),
+            jnp.float32),
+    ))
+
+    # -- complex64 (C-precision) WHELL — hell_cspmv parity row: 4 real
+    # plane products sharing one layout (formats/whell.py WhellComplex)
+    from spgpu_tpu.formats.coo import CooMatrix
+
+    fem_c_base = random_fem_like((1 << 18) if big else 5000, 27.0,
+                                 span=768, far_frac=0.01, seed=5,
+                                 dtype=np.float32)
+    rng_c = np.random.default_rng(6)
+    fem_c = CooMatrix(
+        fem_c_base.rows, fem_c_base.cols,
+        (fem_c_base.values
+         + 1j * rng_c.standard_normal(fem_c_base.nnz)).astype(np.complex64),
+        fem_c_base.n_rows, fem_c_base.n_cols)
+    emit(run_config(
+        "fem_irregular_c64", "whell_complex_pallas", fem_c,
+        lambda c: coo_to_whell(c, packed=True),
+        lambda a, x: whell_spmv(a, x),
+        # 4 plane products, each streaming one 6 B/cell slab + vectors
+        lambda a, coo: 4 * (a.values.size * 6 + a.n_rows * 8),
+        iters=(50 if big else 3), flops_factor=4.0,
+        make_x=lambda a, coo, rng: jnp.asarray(
+            rng.standard_normal((2, a.n_cols)), jnp.float32),
+    ))
+
     # -- 8-RHS SpMM: Pallas loop-of-SpMV on WHELL ------------------------
     from spgpu_tpu.ops import whell_spmm
 

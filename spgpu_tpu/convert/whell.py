@@ -97,6 +97,8 @@ def coo_to_whell(
     lane_capacity: Optional[float] = None,
     panel_x_bytes: Optional[int] = None,
     scattered: Optional[bool] = None,
+    group_hacks: Optional[int] = None,
+    chunk_tiles: Optional[int] = None,
 ):
     """Build a :class:`WhellMatrix` from host COO triples.
 
@@ -134,6 +136,14 @@ def coo_to_whell(
     per-tile x window via an in-kernel select tree: wider windows mean
     fewer (hack, window) groups and less padding for a few extra vector
     ops per tile.
+
+    ``group_hacks`` / ``chunk_tiles`` override the measured-default
+    packed-layout geometry (output group size in hacks; tiles per grid
+    step).  The defaults are the honest chip-sweep optima and safe on
+    VMEM; gh=1024 measured +1.7% on the 262k flagship but its 8.4 MB
+    accumulator scratch leaves so little scoped-VMEM headroom that
+    same-size matrices with slightly larger lane spaces fail to compile
+    (measured) — hence opt-in only.
     """
     if packed:
         if row_perm is not None or sort_rows or ways != 1:
@@ -158,11 +168,13 @@ def coo_to_whell(
             ar = coo_to_whell(re, packed=True, window_pages=window_pages,
                               lane_capacity=lane_capacity,
                               panel_x_bytes=panel_x_bytes,
-                              scattered=scattered)
+                              scattered=scattered, group_hacks=group_hacks,
+                              chunk_tiles=chunk_tiles)
             ai = coo_to_whell(im, packed=True, window_pages=window_pages,
                               lane_capacity=lane_capacity,
                               panel_x_bytes=panel_x_bytes,
-                              scattered=scattered)
+                              scattered=scattered, group_hacks=group_hacks,
+                              chunk_tiles=chunk_tiles)
             return WhellComplex(ar=ar, ai=ai, n_rows=ar.n_rows,
                                 n_cols=ar.n_cols, orig_rows=coo.n_rows,
                                 nnz=coo.nnz)
@@ -202,6 +214,10 @@ def coo_to_whell(
             gh = 128
         else:
             gh = 32
+        if group_hacks is not None:
+            gh = group_hacks
+        if chunk_tiles is not None:
+            ct = chunk_tiles
         return _coo_to_whell_packed(coo, window_pages or 32, lane_capacity,
                                     dtype, group_hacks=gh,
                                     chunk_tiles=ct,

@@ -339,6 +339,12 @@ class WhellComplex:
     def storage_bytes(self) -> int:
         return self.ar.storage_bytes + self.ai.storage_bytes
 
+    @property
+    def values(self):
+        """Real-plane value slab (both planes share one layout, so this
+        is the per-plane padding/occupancy view used by perf tooling)."""
+        return self.ar.values
+
     def embed_complex(self, x: np.ndarray):
         """Original complex vector -> lane-space plane stack:
         ``(2, n_lane)`` complex planes as fp32 for C, or ``(2, 2,
