@@ -28,6 +28,11 @@ _HACK = 128
 #: x budget for the kernel's persistent VMEM scratch; larger lane-space
 #: column counts split into window-aligned panels (PanelledWhell)
 _PANEL_X_BYTES = 11 * 2 ** 20
+#: SMEM budget (in int32 words) for the kernel's prefetched scalar
+#: operands (tile_base + chunk_group + group_bases).  The chip has 1 MiB
+#: of SMEM; 180k words = 720 KiB leaves headroom for Mosaic's own
+#: scalars.  Beyond it the matrix is row-segmented (SegmentedWhell).
+_SMEM_SCALAR_BUDGET_WORDS = 180_000
 
 #: refuse to allocate a padded value/index slab beyond this (runaway
 #: padding on structure-less matrices); env-overridable
@@ -484,6 +489,19 @@ def _coo_to_whell_packed(
         x_pages = max(-(-num_hacks // 8) * 8, 8)
     else:
         x_pages = max(-(-num_hacks // w) * w, w)
+    # Scoped-VMEM guard: the kernel stages a (panel) x block of up to
+    # the panel budget, the dual-plane accumulator scratch (gh * 8 KiB;
+    # dd doubles it for the hi/lo planes), and double-buffered chunk
+    # slabs inside the ~16 MiB scoped-VMEM limit.  gh=512 next to a
+    # 10.3 MiB x panel measured 17.3M scoped (compile OOM, 4M-row FEM);
+    # shrinking gh until scratch + x fits 11.5 MiB leaves the observed
+    # ~3 MiB of chunk/misc headroom.  Large-x matrices thus trade a
+    # smaller output group (more flushes) for a compiling kernel.
+    _x_eff = min(x_pages * 128 * (8 if is_dd else 4),
+                 panel_x_bytes or _PANEL_X_BYTES)
+    _scratch_per_hack = 8192 * (2 if is_dd else 1)
+    while gh > 32 and gh * _scratch_per_hack + _x_eff > int(11.5 * 2**20):
+        gh //= 2
     num_groups = -(-num_hacks // gh)
 
     import jax.numpy as jnp
@@ -820,6 +838,88 @@ def _coo_to_whell_packed(
                       pad_tiles_per_g8 // ct),
             np.int32(-1),
         ]
+
+        # --- SMEM budget: row-segment when the prefetched scalars
+        # (tile_base + chunk_group + group_bases) outgrow the 1 MiB SMEM
+        # (measured compile OOM at the 4M-row class: "Used 1.17M of
+        # 1.00M smem").  Segments cut at output-group boundaries; each
+        # is a complete WhellMatrix over contiguous rows sharing this
+        # panel's x, and the products concatenate.
+        chunks_per_g = pad_tiles_per_g8 // ct
+        n_lg = (np.bincount(hack8, minlength=num_groups)
+                if scattered else np.zeros(num_groups, np.int64))
+        words_g = (pad_tiles_per_g8 + chunks_per_g
+                   + (n_lg * K if scattered else 0))
+        if int(words_g.sum()) + 1 > _SMEM_SCALAR_BUDGET_WORDS:
+            if return_plan:
+                raise ValueError(
+                    "return_plan is not supported for matrices large "
+                    "enough to need row segmentation (SMEM budget)")
+            from spgpu_tpu.formats.whell import SegmentedWhell
+
+            # greedy contiguous packing of output groups into segments
+            cuts = [0]
+            acc = 0
+            for og in range(num_groups):
+                wgi = int(words_g[og])
+                if acc and acc + wgi + 1 > _SMEM_SCALAR_BUDGET_WORDS:
+                    cuts.append(og)
+                    acc = 0
+                acc += wgi
+            cuts.append(num_groups)
+            cchunk = _excl_cumsum(chunks_per_g)
+            lg_cum = _excl_cumsum(n_lg) if scattered else None
+            real = np.zeros(num_tiles, dtype=bool)
+            real[g_tiles_idx] = True
+            e_og = hack8[gid_p]
+            nnz_cum = np.r_[0, np.cumsum(
+                np.bincount(e_og, minlength=num_groups))]
+            segs = []
+            for og0, og1 in zip(cuts[:-1], cuts[1:]):
+                T0, T1 = int(g8_base[og0]), int(
+                    g8_base[og1 - 1] + pad_tiles_per_g8[og1 - 1])
+                C0 = int(cchunk[og0])
+                C1 = C0 + int(chunks_per_g[og0:og1].sum())
+                meta_s = tile_meta[T0:T1].copy()
+                bases_s = None
+                if scattered:
+                    lg0, lg1 = int(lg_cum[og0]), (
+                        int(lg_cum[og1]) if og1 < num_groups
+                        else int(n_lg.sum()))
+                    # layout-group field is the low 20 bits and every
+                    # real tile's value is >= lg0, so the packed word
+                    # rebases by plain subtraction (no borrow)
+                    meta_s[real[T0:T1]] -= lg0
+                    bases_s = jnp.asarray(np.ascontiguousarray(
+                        bases_p[lg0:lg1].reshape(-1)))
+                hk1 = min(num_hacks, og1 * gh)
+                segs.append(WhellMatrix(
+                    values=jnp.asarray(vals[T0 * 8:T1 * 8]),
+                    values_lo=(None if vals_lo is None
+                               else jnp.asarray(vals_lo[T0 * 8:T1 * 8])),
+                    residue=jnp.asarray(res8[T0 * 8:T1 * 8]),
+                    page_tab=jnp.asarray(pt8[T0 * 8:T1 * 8]),
+                    tile_base=jnp.asarray(meta_s),
+                    chunk_group=jnp.asarray(np.r_[
+                        chunk_group[C0:C1] - np.int32(og0), np.int32(-1)]),
+                    row_perm=None,
+                    n_rows=(hk1 - og0 * gh) * _HACK, n_cols=cols_p,
+                    num_hacks=hk1 - og0 * gh, num_groups=og1 - og0,
+                    total_slots=(T1 - T0) * 8,
+                    nnz=int(nnz_cum[og1] - nnz_cum[og0]),
+                    x_pages=pages_p,
+                    seg_lo=jnp.asarray(seg_lo[og0 * gh:og1 * gh]),
+                    seg_hi=jnp.asarray(seg_hi[og0 * gh:og1 * gh]),
+                    lane_of_row=lane_of_row_j,
+                    group_bases=bases_s,
+                    window_pages=8 * K if scattered else w, orig_rows=n,
+                    group_hacks=gh, chunk_tiles=ct,
+                ))
+            mat = SegmentedWhell(
+                segments=tuple(segs), n_rows=n_lane, n_cols=cols_p,
+                orig_rows=n, nnz=int(k_p.size), x_pages=pages_p,
+            )
+            return mat, slot, vlane_p
 
         mat = WhellMatrix(
             values=jnp.asarray(vals),

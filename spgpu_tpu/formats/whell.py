@@ -297,6 +297,83 @@ class PanelledWhell:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class SegmentedWhell:
+    """Row-segmented packed WHELL for matrices whose per-tile/per-group
+    scalar operands exceed the 1 MiB SMEM prefetch budget (~130k tiles;
+    hit at the 4M-row / 45M-nnz class, measured compile OOM "Used 1.17M
+    of 1.00M smem").  The reference's analogue is again the ELL grid
+    chunk loop (``ell_spmv_base.cuh:118-136``): rows are processed in
+    independent launches, so metadata never outgrows the device limits.
+
+    Segments split at output-group boundaries; each is a self-contained
+    :class:`WhellMatrix` over a contiguous row range sharing the full
+    (panel) x, and ``A @ x = concat_s(A_s @ x)``.  Built automatically
+    by ``coo_to_whell(packed=True)`` when needed; may appear as a panel
+    of a :class:`PanelledWhell` (columns split first, rows second).
+    """
+
+    segments: tuple  # of WhellMatrix, consecutive row ranges
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    orig_rows: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    x_pages: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.segments[0].dtype
+
+    @property
+    def is_dd(self) -> bool:
+        return self.segments[0].is_dd
+
+    @property
+    def packed(self) -> bool:
+        return True
+
+    @property
+    def window_pages(self) -> int:
+        return self.segments[0].window_pages
+
+    @property
+    def lane_of_row(self):
+        return self.segments[0].lane_of_row
+
+    @property
+    def values(self):  # aggregate view for pad/bench accounting
+        import types
+
+        return types.SimpleNamespace(
+            size=sum(int(s.values.size) for s in self.segments))
+
+    @property
+    def storage_bytes(self) -> int:
+        # lane_of_row is one shared buffer carried by every segment —
+        # count it once
+        n = sum(s.storage_bytes for s in self.segments)
+        return int(n - (len(self.segments) - 1)
+                   * self.segments[0].lane_of_row.size * 4)
+
+    def embed(self, x):
+        import jax.numpy as jnp
+
+        out = jnp.zeros(x.shape[:-1] + (self.n_rows,), x.dtype)
+        return out.at[..., self.lane_of_row].set(x)
+
+    def extract(self, z):
+        return z[..., self.lane_of_row]
+
+    def to_dense(self) -> np.ndarray:
+        return np.concatenate([s.to_dense() for s in self.segments],
+                              axis=0)[: self.n_rows]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class WhellComplex:
     """Complex packed WHELL as two real-plane matrices (C/Z coverage of
     the fast path; the reference instantiates C/Z kernel variants,

@@ -429,7 +429,7 @@ def whell_spmv_dd_pallas(a: WhellMatrix, x_pair, interpret: bool = False):
 
     ``x_pair``: ``(2, n_lane)`` fp32 stack (``ops.dd.split`` of a float64
     lane-space vector); returns the ``(2, n_lane)`` product stack."""
-    from spgpu_tpu.formats.whell import PanelledWhell
+    from spgpu_tpu.formats.whell import PanelledWhell, SegmentedWhell
 
     if isinstance(a, PanelledWhell):
         from spgpu_tpu.ops.dd import dd_add_dd
@@ -446,6 +446,10 @@ def whell_spmv_dd_pallas(a: WhellMatrix, x_pair, interpret: bool = False):
                 z = jnp.stack([h, l])
             off += p.n_cols
         return z
+    if isinstance(a, SegmentedWhell):
+        return jnp.concatenate([
+            whell_spmv_dd_pallas(s, x_pair, interpret=interpret)
+            for s in a.segments], axis=1)
     if not (a.packed and a.is_dd):
         raise ValueError("whell_spmv_dd requires a packed dd matrix "
                          "(coo_to_whell(packed=True) on float64 values)")
@@ -608,7 +612,7 @@ def _whell_packed_spmm_call(values, residue, page_tab, seg_lo, seg_hi,
 def whell_spmm_packed_pallas(a, x, interpret: bool = False):
     """Fused ``Z = A @ X`` on a packed WHELL; ``x``: ``(n_rhs, n_lane)``
     lane-space stack, returns ``(n_rhs, n_lane)``."""
-    from spgpu_tpu.formats.whell import PanelledWhell
+    from spgpu_tpu.formats.whell import PanelledWhell, SegmentedWhell
 
     n_rhs = int(x.shape[0])
     if isinstance(a, PanelledWhell):
@@ -620,6 +624,10 @@ def whell_spmm_packed_pallas(a, x, interpret: bool = False):
             z = zp if z is None else z + zp
             off += p.n_cols
         return z
+    if isinstance(a, SegmentedWhell):
+        return jnp.concatenate([
+            whell_spmm_packed_pallas(s, x, interpret=interpret)
+            for s in a.segments], axis=1)
     nbytes = (n_rhs * a.x_pages * 128 * jnp.dtype(x.dtype).itemsize
               + n_rhs * a.group_hacks * 8 * 128 * 4)
     if nbytes > _X_VMEM_LIMIT_BYTES:
@@ -1078,7 +1086,7 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     applied on the output.  Single-RHS; see :func:`whell_spmm_pallas`
     for the fused multi-RHS variant.
     """
-    from spgpu_tpu.formats.whell import PanelledWhell
+    from spgpu_tpu.formats.whell import PanelledWhell, SegmentedWhell
 
     if isinstance(a, PanelledWhell):
         # column panels: each panel's product runs on its x slice; the
@@ -1090,6 +1098,17 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
                                    interpret=interpret)
             z = zp if z is None else z + zp
             off += p.n_cols
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if is_zero or y is None:
+            return z if isinstance(alpha, (int, float)) and alpha == 1 else alpha * z
+        return alpha * z + beta * y
+
+    if isinstance(a, SegmentedWhell):
+        # row segments (SMEM-budget splits): every segment reads the
+        # same x; the partial z vectors concatenate (contiguous rows)
+        z = jnp.concatenate([
+            whell_spmv_pallas(s, x, interpret=interpret)
+            for s in a.segments])
         is_zero = isinstance(beta, (int, float)) and beta == 0
         if is_zero or y is None:
             return z if isinstance(alpha, (int, float)) and alpha == 1 else alpha * z

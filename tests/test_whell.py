@@ -370,3 +370,55 @@ def test_malloc_tuning_active():
 
     assert tune_malloc()  # idempotent; True on linux/glibc
     prefault(1 << 20)  # smoke: touch 1 MiB through the tuned heap
+
+
+def test_row_segmentation_smem_budget(monkeypatch):
+    """Matrices whose per-tile scalar operands exceed the 1 MiB SMEM
+    prefetch budget must row-segment (SegmentedWhell) instead of failing
+    TPU compilation (measured "Used 1.17M of 1.00M smem" at the 4M-row
+    class).  Reference bar: the ELL grid chunk loop has no size cliff
+    (``ell_spmv_base.cuh:118-136``).  Forced here with a tiny budget."""
+    import spgpu_tpu.convert.whell as W
+    from spgpu_tpu.formats.whell import SegmentedWhell
+
+    coo = random_fem_like(12_000, 9.0, span=300, far_frac=0.02, seed=11,
+                          dtype=np.float32).sum_duplicates()
+    ref_mat = coo_to_whell(coo, packed=True)
+    monkeypatch.setattr(W, "_SMEM_SCALAR_BUDGET_WORDS", 120)
+    a = coo_to_whell(coo, packed=True)
+    assert isinstance(a, SegmentedWhell)
+    assert len(a.segments) >= 2
+    assert a.n_rows == ref_mat.n_rows
+    assert sum(s.nnz for s in a.segments) == coo.nnz
+
+    x = np.random.default_rng(7).standard_normal(coo.n_cols).astype(
+        np.float32)
+    gold = coo.spmv(x)
+    z = np.asarray(a.extract(whell_spmv_pallas(a, a.embed(jnp.asarray(x)),
+                                               interpret=True)))
+    np.testing.assert_allclose(z, gold, rtol=3e-5, atol=3e-5)
+    # segmented to_dense stitches the same lane-space matrix
+    np.testing.assert_allclose(a.to_dense(), ref_mat.to_dense(),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_row_segmentation_dd(monkeypatch):
+    """Double-float slabs segment too (hi/lo slices stay paired)."""
+    import spgpu_tpu.convert.whell as W
+    from spgpu_tpu.formats.whell import SegmentedWhell
+    from spgpu_tpu.ops import dd as ddm
+    from spgpu_tpu.ops.pallas_kernels import whell_spmv_dd_pallas
+
+    coo = laplacian_2d(70, 70, np.float64)
+    monkeypatch.setattr(W, "_SMEM_SCALAR_BUDGET_WORDS", 40)
+    a = coo_to_whell(coo, packed=True)
+    assert isinstance(a, SegmentedWhell) and a.is_dd
+    assert len(a.segments) >= 2
+    x = np.random.default_rng(3).standard_normal(coo.n_cols)
+    xl = np.zeros(a.n_rows)
+    xl[np.asarray(a.lane_of_row)] = x
+    z = whell_spmv_dd_pallas(
+        a, jnp.asarray(np.stack(ddm.split(xl)), jnp.float32),
+        interpret=True)
+    got = ddm.join(np.asarray(z))[np.asarray(a.lane_of_row)]
+    np.testing.assert_allclose(got, coo.spmv(x), rtol=1e-12, atol=1e-12)
