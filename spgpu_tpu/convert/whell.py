@@ -494,13 +494,20 @@ def _coo_to_whell_packed(
     # dd doubles it for the hi/lo planes), and double-buffered chunk
     # slabs inside the ~16 MiB scoped-VMEM limit.  gh=512 next to a
     # 10.3 MiB x panel measured 17.3M scoped (compile OOM, 4M-row FEM);
-    # shrinking gh until scratch + x fits 11.5 MiB leaves the observed
-    # ~3 MiB of chunk/misc headroom.  Large-x matrices thus trade a
-    # smaller output group (more flushes) for a compiling kernel.
-    _x_eff = min(x_pages * 128 * (8 if is_dd else 4),
-                 panel_x_bytes or _PANEL_X_BYTES)
+    # scratch + x must fit 11.5 MiB (the observed ~3 MiB of chunk/misc
+    # sits on top).  The default resolves the conflict by SHRINKING THE
+    # PANELS, not the group size: the 4M-class chip sweep measured 37.0
+    # GFLOPS at gh=512 / 7.3 MiB panels vs 24.0 at the gh-clamped
+    # 11 MiB panels (group-count chunk floors dominate the padding).
+    # An explicit panel_x_bytes is respected and gh shrinks instead.
+    _vmem_cap = int(11.5 * 2**20)
     _scratch_per_hack = 8192 * (2 if is_dd else 1)
-    while gh > 32 and gh * _scratch_per_hack + _x_eff > int(11.5 * 2**20):
+    budget_eff = panel_x_bytes or _PANEL_X_BYTES
+    if panel_x_bytes is None:
+        budget_eff = min(budget_eff,
+                         max(_vmem_cap - gh * _scratch_per_hack, 4 * 2**20))
+    _x_eff = min(x_pages * 128 * (8 if is_dd else 4), budget_eff)
+    while gh > 32 and gh * _scratch_per_hack + _x_eff > _vmem_cap:
         gh //= 2
     num_groups = -(-num_hacks // gh)
 
@@ -555,7 +562,7 @@ def _coo_to_whell_packed(
     nwin = x_pages // w
     hack = hack_of_row[coo.rows]
     x_entry_bytes = 8 if is_dd else 4  # dd stages both planes
-    budget = panel_x_bytes or _PANEL_X_BYTES
+    budget = budget_eff  # panel budget resolved by the VMEM guard above
     if scattered:
         # --- scattered-window grouping -------------------------------
         # A group's x window is a SET of up to K independently-based
