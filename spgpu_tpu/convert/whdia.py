@@ -35,6 +35,16 @@ def _excl_cumsum(a: np.ndarray) -> np.ndarray:
     return out
 
 
+#: per-block x budget (bytes): the kernel DMAs the whole x slice into a
+#: persistent VMEM scratch, which must share the ~16 MiB scoped VMEM
+#: with the accumulator and chunk buffers.
+_ROWBLOCK_X_BUDGET = 10 * 2 ** 20
+#: SMEM budget in int32 words for tile_base + chunk_group (same wall as
+#: packed WHELL's row segmentation: 1 MiB of SMEM, measured overrun at
+#: ~130k tiles on the 4M-row class).
+_ROWBLOCK_SMEM_WORDS = 150_000
+
+
 def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
                  group_hacks=None, chunk_tiles=None) -> WhdiaMatrix:
     vals_in = coo.values if dtype is None else coo.values.astype(dtype)
@@ -42,6 +52,17 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
     is_dd = np.dtype(vals_in.dtype) == np.float64
     val_dtype = np.dtype(np.float64) if is_dd else vals_in.dtype
     num_hacks = max(-(-coo.n_rows // _HACK), 1)
+    # --- row blocks: x beyond the VMEM budget, or tile scalars beyond
+    # SMEM, split the matrix into independent row blocks whose column
+    # windows (the diagonals' reach — bounded for banded structure) fit
+    # the budgets (formats/whdia.py BlockedWhdia).
+    xeb = 8 if is_dd else 4
+    est_tiles = max(1, coo.nnz // 1024) * 2  # x2: padding margin
+    if coo.nnz and (coo.n_cols * xeb > _ROWBLOCK_X_BUDGET
+                    or est_tiles > _ROWBLOCK_SMEM_WORDS):
+        return _coo_to_whdia_blocked(
+            coo, vals_in, is_dd, dtype, window_pages, group_hacks,
+            chunk_tiles)
     # geometry defaults (chip sweep, BASELINE.md): 128-hack groups /
     # 128-tile chunks lift banded-31 70.7 -> 86.7 GFLOPS and the 1M
     # Laplacian 28.2 -> 33.5 (fewer z flushes, amortised grid steps).
@@ -199,3 +220,67 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
         x_pages=x_pages, window_pages=w,
         group_hacks=_GROUPv, chunk_tiles=_CTv,
     )
+
+
+def _coo_to_whdia_blocked(coo, vals_in, is_dd, dtype, window_pages,
+                          group_hacks, chunk_tiles):
+    """Split rows into hack-aligned blocks whose column windows fit the
+    per-block x budget and whose tile scalars fit SMEM, then convert
+    each block independently (``A @ x = concat_b(A_b @ x[window_b])``)."""
+    from spgpu_tpu.formats.whdia import BlockedWhdia
+
+    xeb = 8 if is_dd else 4
+    bud_cols = (_ROWBLOCK_X_BUDGET // (128 * xeb)) * 128
+    n_hacks = -(-coo.n_rows // _HACK)
+    hk = (coo.rows // _HACK).astype(np.int64)
+    hmin = np.full(n_hacks, np.iinfo(np.int64).max, np.int64)
+    hmax = np.full(n_hacks, -1, np.int64)
+    np.minimum.at(hmin, hk, coo.cols.astype(np.int64))
+    np.maximum.at(hmax, hk, coo.cols.astype(np.int64))
+    hnnz = np.bincount(hk, minlength=n_hacks)
+    empty = hmax < 0
+    hmin[empty] = 0
+    hmax[empty] = 0
+    # greedy hack packing under both budgets
+    cuts = [0]
+    cmin, cmax, nn = hmin[0], hmax[0], hnnz[0]
+    for h in range(1, n_hacks):
+        nmin, nmax = min(cmin, hmin[h]), max(cmax, hmax[h])
+        nnn = nn + hnnz[h]
+        if (nmax - (nmin // 128) * 128 + 1 > bud_cols
+                or (nnn // 1024) * 2 > _ROWBLOCK_SMEM_WORDS):
+            cuts.append(h)
+            cmin, cmax, nn = hmin[h], hmax[h], hnnz[h]
+        else:
+            cmin, cmax, nn = nmin, nmax, nnn
+    cuts.append(n_hacks)
+    if len(cuts) == 2:
+        raise ValueError(
+            "matrix exceeds the WHDIA x/SMEM budgets but cannot be "
+            "row-blocked (a single 128-row hack spans too many "
+            "columns); use the packed WHELL layout instead")
+    blocks, col_offs = [], []
+    order = np.argsort(hk, kind="stable")  # hack-sorted entry view
+    hstart = np.searchsorted(hk[order], np.arange(n_hacks + 1))
+    nnz_total = 0
+    for h0, h1 in zip(cuts[:-1], cuts[1:]):
+        sel = order[hstart[h0]:hstart[h1]]
+        coff = int(hmin[h0:h1].min() // 128) * 128
+        span = int(hmax[h0:h1].max()) - coff + 1
+        sub = CooMatrix(
+            coo.rows[sel] - h0 * _HACK, coo.cols[sel] - coff,
+            vals_in[sel],
+            min(coo.n_rows - h0 * _HACK, (h1 - h0) * _HACK), span)
+        blk = coo_to_whdia(sub, dtype=None, window_pages=window_pages,
+                           group_hacks=group_hacks,
+                           chunk_tiles=chunk_tiles)
+        if span * xeb > _ROWBLOCK_X_BUDGET:  # single-hack span overrun
+            raise ValueError(
+                "a row block's column span exceeds the WHDIA x budget; "
+                "use the packed WHELL layout for this structure")
+        blocks.append(blk)
+        col_offs.append(coff)
+        nnz_total += sub.nnz
+    return BlockedWhdia(blocks=tuple(blocks), col_offs=tuple(col_offs),
+                        n_rows=coo.n_rows, n_cols=coo.n_cols,
+                        nnz=nnz_total)

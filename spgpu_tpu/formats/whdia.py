@@ -133,3 +133,64 @@ class WhdiaMatrix:
             # plain store: duplicates follow last-write-wins like coo2dia
             out[row[ok], col[ok]] = v[ok]
         return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BlockedWhdia:
+    """Row-blocked WHDIA for matrices whose x exceeds the kernel's
+    VMEM-resident budget (~3M fp32 columns) or whose tile scalars
+    exceed the 1 MiB SMEM prefetch budget.
+
+    Banded structure makes row blocks natural: the rows of block ``b``
+    only touch the column window ``[col_off_b, col_off_b + span_b)``
+    (the diagonals' reach), so each block is a self-contained
+    :class:`WhdiaMatrix` over its own x slice, and ``A @ x =
+    concat_b(A_b @ x[window_b])``.  The reference's analogue is again
+    the ELL grid chunk loop (``ell_spmv_base.cuh:118-136``) plus
+    diaPerf's memory-fit fallback (``diaPerf.cpp:174-183``): no hard
+    size cliff.  Built automatically by ``coo_to_whdia`` when needed.
+    """
+
+    blocks: tuple  # of WhdiaMatrix, consecutive row ranges
+    #: per-block first column (page-aligned); static so x slicing stays
+    #: compile-time under jit
+    col_offs: tuple = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.blocks[0].dtype
+
+    @property
+    def is_dd(self) -> bool:
+        return self.blocks[0].is_dd
+
+    @property
+    def window_pages(self) -> int:
+        return self.blocks[0].window_pages
+
+    @property
+    def values(self):  # aggregate view for pad/bench accounting
+        import types
+
+        return types.SimpleNamespace(
+            size=sum(int(b.values.size) for b in self.blocks))
+
+    @property
+    def storage_bytes(self) -> int:
+        return sum(b.storage_bytes for b in self.blocks)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros((self.n_rows, self.n_cols), dtype=self.dtype)
+        r0 = 0
+        for b, off in zip(self.blocks, self.col_offs):
+            out[r0:r0 + b.n_rows, off:off + b.n_cols] = b.to_dense()
+            r0 += b.n_rows
+        return out

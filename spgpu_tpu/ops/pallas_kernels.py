@@ -889,6 +889,20 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
                       interpret: bool = False):
     """``z = beta*y + alpha*(A @ x)`` on the WHDIA layout; semantics
     match ``spgpu?hdiaspmv`` (``hdia_spmv_base.cuh:114-127``)."""
+    from spgpu_tpu.formats.whdia import BlockedWhdia
+
+    if isinstance(a, BlockedWhdia):
+        # row blocks (x beyond VMEM / scalars beyond SMEM): each block
+        # reads its own column window of x; partial z's concatenate
+        z = jnp.concatenate([
+            whdia_spmv_pallas(b, x[off:off + b.n_cols],
+                              interpret=interpret)
+            for b, off in zip(a.blocks, a.col_offs)])
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if is_zero or y is None:
+            return z if isinstance(alpha, (int, float)) and alpha == 1 else alpha * z
+        return alpha * z + beta * y
+
     x2d = _prep_x(x, a.n_cols, a.x_pages)
     z = _whdia_spmv_call(
         a.values, a.slot_r0, a.tile_base, a.chunk_group, x2d,
@@ -1046,6 +1060,14 @@ def whdia_spmv_dd_pallas(a, x_pair, interpret: bool = False):
     if not a.is_dd:
         raise ValueError("whdia_spmv_dd requires dd values "
                          "(coo_to_whdia on float64)")
+    from spgpu_tpu.formats.whdia import BlockedWhdia
+
+    if isinstance(a, BlockedWhdia):
+        return jnp.concatenate([
+            whdia_spmv_dd_pallas(b, x_pair[:, off:off + b.n_cols],
+                                 interpret=interpret)
+            for b, off in zip(a.blocks, a.col_offs)], axis=1)
+
     pad = a.x_pages * 128 - a.n_cols
     xp = jnp.pad(x_pair, ((0, 0), (0, pad))) if pad else x_pair
     x3d = xp.reshape(2, a.x_pages, 128)

@@ -76,3 +76,47 @@ def test_empty_matrix():
     a = coo_to_whdia(coo)
     z = whdia_spmv_pallas(a, jnp.ones(200, jnp.float32), interpret=True)
     np.testing.assert_array_equal(np.asarray(z), np.zeros(200, np.float32))
+
+
+def test_row_blocked_whdia(monkeypatch):
+    """Banded matrices beyond the x-VMEM / SMEM budgets must row-block
+    (BlockedWhdia) instead of raising; the reference bar is diaPerf's
+    memory-fit fallback (``diaPerf.cpp:174-183``) + the ELL chunk loop
+    (no size cliff).  Forced here with tiny budgets."""
+    import spgpu_tpu.convert.whdia as W
+    from spgpu_tpu.convert import coo_to_whdia
+    from spgpu_tpu.formats.whdia import BlockedWhdia
+    from spgpu_tpu.ops.pallas_kernels import whdia_spmv_pallas
+
+    coo = random_banded(4000, bands=9, wander=5, seed=4,
+                        dtype=np.float32).sum_duplicates()
+    monkeypatch.setattr(W, "_ROWBLOCK_X_BUDGET", 1024 * 4 * 2)  # 2k cols
+    a = coo_to_whdia(coo)
+    assert isinstance(a, BlockedWhdia)
+    assert len(a.blocks) >= 2
+    assert sum(b.n_rows for b in a.blocks) == coo.n_rows
+    x = np.random.default_rng(5).standard_normal(coo.n_cols).astype(
+        np.float32)
+    z = np.asarray(whdia_spmv_pallas(a, jnp.asarray(x), interpret=True))
+    np.testing.assert_allclose(z, coo.spmv(x), rtol=3e-5, atol=3e-5)
+
+
+def test_row_blocked_whdia_dd(monkeypatch):
+    """Double-float row blocks (hi/lo slabs stay paired per block)."""
+    import spgpu_tpu.convert.whdia as W
+    from spgpu_tpu.convert import coo_to_whdia
+    from spgpu_tpu.formats.whdia import BlockedWhdia
+    from spgpu_tpu.ops import dd as ddm
+    from spgpu_tpu.ops.pallas_kernels import whdia_spmv_dd_pallas
+
+    coo = random_banded(2000, bands=5, wander=3, seed=6,
+                        dtype=np.float64).sum_duplicates()
+    monkeypatch.setattr(W, "_ROWBLOCK_X_BUDGET", 1024 * 8)  # 1k dd cols
+    a = coo_to_whdia(coo)
+    assert isinstance(a, BlockedWhdia) and a.is_dd
+    x = np.random.default_rng(5).standard_normal(coo.n_cols)
+    z = whdia_spmv_dd_pallas(
+        a, jnp.asarray(np.stack(ddm.split(x)), jnp.float32),
+        interpret=True)
+    np.testing.assert_allclose(ddm.join(np.asarray(z)), coo.spmv(x),
+                               rtol=1e-12, atol=1e-12)
