@@ -244,7 +244,9 @@ def run_suite(size: str = "small", out=print):
     # plane products sharing one layout (formats/whell.py WhellComplex)
     from spgpu_tpu.formats.coo import CooMatrix
 
-    fem_c_base = random_fem_like((1 << 18) if big else 5000, 27.0,
+    # small size kept tiny: the CPU path interprets 4 plane products
+    # per chained iteration (33 per timing), which dominates CI time
+    fem_c_base = random_fem_like((1 << 18) if big else 1500, 27.0,
                                  span=768, far_frac=0.01, seed=5,
                                  dtype=np.float32)
     rng_c = np.random.default_rng(6)
