@@ -269,17 +269,17 @@ def run_suite(size: str = "small", out=print):
     # -- 8-RHS SpMM: Pallas loop-of-SpMV on WHELL ------------------------
     from spgpu_tpu.ops import whell_spmm
 
+    # carry is the full (8, n) block: building the block inside the
+    # timed lambda (r2) charged an extra broadcast-multiply + sum
+    # epilogue to every iteration and understated the kernel ~40%
     emit(run_config(
         "fem_irregular", "whell_pallas_spmm8", fem,
         lambda c: coo_to_whell(c, packed=True),
-        # distinct per-RHS scalings: identical broadcast RHS lets XLA
-        # CSE the 8 products into one (measured as an impossible >1.0
-        # roofline fraction)
-        lambda a, x: whell_spmm(
-            a, x[None, :] * (1.0 + jnp.arange(8, dtype=x.dtype))[:, None]
-        ).sum(axis=0) / 8,
+        lambda a, x: whell_spmm(a, x),
         lambda a, coo: 8 * (a.values.size * 6 + coo.n_rows * 8),
         iters=50 if big else 3, flops_factor=8.0,
+        make_x=lambda a, coo, rng: jnp.asarray(
+            rng.standard_normal((8, a.n_cols)), jnp.float32),
     ))
 
     # -- 8-RHS SpMM through the XLA multivector path (small instance —

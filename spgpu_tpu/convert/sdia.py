@@ -51,6 +51,20 @@ def coo_to_sdia(coo: CooMatrix) -> SdiaMatrix:
     (``dia.c:40-104``): diagonals ascending by offset id, duplicate
     coordinates last-write-wins (coalesce with ``sum_duplicates()``
     first if duplicates should add)."""
+    if np.issubdtype(coo.values.dtype, np.complexfloating):
+        # C/Z: two real-plane conversions of identical structure
+        # (formats/cplanes.py) — dia_cspmv.cu:28/dia_zspmv.cu parity
+        from spgpu_tpu.formats.cplanes import ComplexPlanes
+
+        real_dt = (np.float64 if coo.values.dtype == np.complex128
+                   else np.float32)
+        mk = lambda v: coo_to_sdia(
+            CooMatrix(coo.rows, coo.cols, v.astype(real_dt),
+                      coo.n_rows, coo.n_cols))
+        return ComplexPlanes(ar=mk(np.real(coo.values)),
+                             ai=mk(np.imag(coo.values)),
+                             n_rows=coo.n_rows, n_cols=coo.n_cols,
+                             nnz=coo.nnz)
     if coo.nnz == 0:
         return _planes_to_sdia(
             np.zeros((0, 0), dtype=coo.dtype), (), coo.n_rows, coo.n_cols)

@@ -48,6 +48,23 @@ _ROWBLOCK_SMEM_WORDS = 150_000
 def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
                  group_hacks=None, chunk_tiles=None) -> WhdiaMatrix:
     vals_in = coo.values if dtype is None else coo.values.astype(dtype)
+    if np.issubdtype(vals_in.dtype, np.complexfloating):
+        # C/Z: two real-plane conversions sharing the structure-derived
+        # layout (formats/cplanes.py) — dia-class complex kernel parity
+        # (hdia_cspmv.cu:28, hdia_zspmv.cu)
+        from spgpu_tpu.formats.cplanes import ComplexPlanes
+
+        real_dt = (np.float64 if vals_in.dtype == np.complex128
+                   else np.float32)
+        mk = lambda v: coo_to_whdia(
+            CooMatrix(coo.rows, coo.cols, v.astype(real_dt),
+                      coo.n_rows, coo.n_cols),
+            window_pages=window_pages, group_hacks=group_hacks,
+            chunk_tiles=chunk_tiles)
+        return ComplexPlanes(ar=mk(np.real(vals_in)),
+                             ai=mk(np.imag(vals_in)),
+                             n_rows=coo.n_rows, n_cols=coo.n_cols,
+                             nnz=coo.nnz)
     # fp64 -> double-float slabs, as in packed WHELL (hdia_dspmv parity)
     is_dd = np.dtype(vals_in.dtype) == np.float64
     val_dtype = np.dtype(np.float64) if is_dd else vals_in.dtype

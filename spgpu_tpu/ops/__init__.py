@@ -44,6 +44,111 @@ def _on_tpu() -> bool:
         return False
 
 
+def _dd_pair(val) -> tuple:
+    """Python float -> (hi, lo) fp32 dd pair preserving fp64 precision."""
+    import numpy as np
+
+    hi = np.float32(val)
+    return (hi, np.float32(float(val) - float(hi)))
+
+
+def _dd_epilogue(z, alpha, beta, y):
+    """``beta*y + alpha*z`` on (2, n) dd stacks with dd-scalar precision
+    (the alpha/beta contract of every reference D-precision SpMV,
+    ``hell_spmv_base.cuh:103-157``)."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.ops import dd as _dd
+
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if (is_zero or y is None) and isinstance(alpha, (int, float)) and alpha == 1:
+        return z
+    ap = _dd_pair(alpha)
+    ah, al = _dd.dd_mul(z[0], z[1], ap[0], ap[1])
+    if is_zero or y is None:
+        return jnp.stack([ah, al])
+    bp = _dd_pair(beta)
+    bh, bl = _dd.dd_mul(y[0], y[1], bp[0], bp[1])
+    h, l = _dd.dd_add_dd(ah, al, bh, bl)
+    return jnp.stack([h, l])
+
+
+def _complex_epilogue(z, alpha, beta, y, is_dd: bool):
+    """``beta*y + alpha*z`` on complex plane stacks.
+
+    C: ``z``/``y`` are ``(2, n)`` fp32 [re, im] stacks; Z (dd-complex):
+    ``(2, 2, n)`` [re, im] x [hi, lo].  ``alpha``/``beta`` may be python
+    complex — the plane rotation ``(ar + i*ai)(zr + i*zi)`` runs on the
+    stacks (C/Z alpha/beta parity with ``hell_cspmv.cu``/``zdot.cu``)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    is_zero = isinstance(beta, (int, float, complex)) and beta == 0
+    if (is_zero or y is None) and isinstance(alpha, (int, float, complex)) \
+            and alpha == 1:
+        return z
+
+    def rot(v, s):
+        """(sr + i*si) * (v[0] + i*v[1]) on plane stacks."""
+        sr, si = float(np.real(s)), float(np.imag(s))
+        if is_dd:
+            from spgpu_tpu.ops import dd as _dd
+
+            srp, sip = _dd_pair(sr), _dd_pair(si)
+
+            def smul(plane, sp):
+                return _dd.dd_mul(plane[0], plane[1], sp[0], sp[1])
+
+            rr = smul(v[0], srp)
+            ii = smul(v[1], sip)
+            ri = smul(v[1], srp)
+            ir = smul(v[0], sip)
+            re = jnp.stack(_dd.dd_add_dd(rr[0], rr[1], -ii[0], -ii[1]))
+            im = jnp.stack(_dd.dd_add_dd(ri[0], ri[1], ir[0], ir[1]))
+            return jnp.stack([re, im])
+        if si == 0:
+            return sr * v
+        return jnp.stack([sr * v[0] - si * v[1], sr * v[1] + si * v[0]])
+
+    out = z if isinstance(alpha, (int, float, complex)) and alpha == 1 \
+        else rot(z, alpha)
+    if is_zero or y is None:
+        return out
+    by = rot(y, beta)
+    if is_dd:
+        from spgpu_tpu.ops import dd as _dd
+
+        planes = [jnp.stack(_dd.dd_add_dd(out[p][0], out[p][1],
+                                          by[p][0], by[p][1]))
+                  for p in range(2)]
+        return jnp.stack(planes)
+    return out + by
+
+
+def _complex_plane_spmv(sub, a, x, alpha, beta, y):
+    """Four real plane products ``Re = Ar xr − Ai xi``, ``Im = Ar xi +
+    Ai xr`` on a plane-pair matrix (``WhellComplex`` /
+    :class:`~spgpu_tpu.formats.cplanes.ComplexPlanes`), then the complex
+    alpha/beta epilogue.  ``sub(layout, vec)`` is the underlying real
+    SpMV (handles dd planes itself)."""
+    import jax.numpy as jnp
+
+    xr, xi = x[0], x[1]
+    if a.is_dd:
+        from spgpu_tpu.ops import dd as _dd
+
+        arr, ari = sub(a.ar, xr), sub(a.ar, xi)
+        air, aii = sub(a.ai, xr), sub(a.ai, xi)
+        zr = jnp.stack(_dd.dd_add_dd(arr[0], arr[1], -aii[0], -aii[1]))
+        zi = jnp.stack(_dd.dd_add_dd(ari[0], ari[1], air[0], air[1]))
+        return _complex_epilogue(jnp.stack([zr, zi]), alpha, beta, y,
+                                 is_dd=True)
+    zr = sub(a.ar, xr) - sub(a.ai, xi)
+    zi = sub(a.ar, xi) + sub(a.ai, xr)
+    return _complex_epilogue(jnp.stack([zr, zi]), alpha, beta, y,
+                             is_dd=False)
+
+
 def ell_spmv(a: EllMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
     """``z = beta*y + alpha*(A @ x)`` for ELL/OELL; ↔ ``spgpu?ellspmv``.
 
@@ -81,26 +186,22 @@ def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
         sdia_spmv_pallas,
     )
 
+    from spgpu_tpu.formats.cplanes import ComplexPlanes
+
     if interpret is None:
         interpret = not _on_tpu()
+    if isinstance(a, ComplexPlanes):
+        return _complex_plane_spmv(
+            lambda m, v: sdia_spmv(m, v, interpret=interpret),
+            a, x, alpha, beta, y)
     if getattr(a, "is_dd", False):
         import jax.numpy as jnp
-
-        from spgpu_tpu.ops import dd as _dd
 
         if a.n_diags == 0:
             acc = jnp.zeros((2, a.n_rows), jnp.float32)
         else:
             acc = sdia_spmv_dd_pallas(a, x, interpret=interpret)
-        is_zero = isinstance(beta, (int, float)) and beta == 0
-        if (is_zero or y is None) and isinstance(alpha, (int, float)) and alpha == 1:
-            return acc
-        ah, al = _dd.dd_mul(acc[0], acc[1], jnp.float32(alpha), jnp.float32(0.0))
-        if is_zero or y is None:
-            return jnp.stack([ah, al])
-        bh, bl = _dd.dd_mul(y[0], y[1], jnp.float32(beta), jnp.float32(0.0))
-        h, l = _dd.dd_add_dd(ah, al, bh, bl)
-        return jnp.stack([h, l])
+        return _dd_epilogue(acc, alpha, beta, y)
     return sdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 
@@ -171,40 +272,12 @@ def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
     from spgpu_tpu.formats.whell import WhellComplex
 
     if isinstance(a, WhellComplex):
-        import jax.numpy as jnp
-
-        if not (isinstance(alpha, (int, float)) and alpha == 1
-                and isinstance(beta, (int, float)) and beta == 0):
-            raise NotImplementedError("alpha/beta on the complex fast path: "
-                                      "combine on the caller side")
-        sub = lambda m, v: whell_spmv(m, v, interpret=interpret)
-        xr, xi = x[0], x[1]
-        if a.is_dd:
-            from spgpu_tpu.ops import dd as _dd
-
-            arr, ari = sub(a.ar, xr), sub(a.ar, xi)
-            air, aii = sub(a.ai, xr), sub(a.ai, xi)
-            zr = jnp.stack(_dd.dd_add_dd(arr[0], arr[1], -aii[0], -aii[1]))
-            zi = jnp.stack(_dd.dd_add_dd(ari[0], ari[1], air[0], air[1]))
-            return jnp.stack([zr, zi])
-        zr = sub(a.ar, xr) - sub(a.ai, xi)
-        zi = sub(a.ar, xi) + sub(a.ai, xr)
-        return jnp.stack([zr, zi])
+        return _complex_plane_spmv(
+            lambda m, v: whell_spmv(m, v, interpret=interpret),
+            a, x, alpha, beta, y)
     if getattr(a, "is_dd", False):
-        import jax.numpy as jnp
-
-        from spgpu_tpu.ops import dd as _dd
-
         z = whell_spmv_dd_pallas(a, x, interpret=interpret)
-        is_zero = isinstance(beta, (int, float)) and beta == 0
-        if (is_zero or y is None) and isinstance(alpha, (int, float)) and alpha == 1:
-            return z
-        ah, al = _dd.dd_mul(z[0], z[1], jnp.float32(alpha), jnp.float32(0.0))
-        if is_zero or y is None:
-            return jnp.stack([ah, al])
-        bh, bl = _dd.dd_mul(y[0], y[1], jnp.float32(beta), jnp.float32(0.0))
-        h, l = _dd.dd_add_dd(ah, al, bh, bl)
-        return jnp.stack([h, l])
+        return _dd_epilogue(z, alpha, beta, y)
     return whell_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 
@@ -218,14 +291,17 @@ def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
         whdia_spmv_pallas,
     )
 
+    from spgpu_tpu.formats.cplanes import ComplexPlanes
+
     if interpret is None:
         interpret = not _on_tpu()
+    if isinstance(a, ComplexPlanes):
+        return _complex_plane_spmv(
+            lambda m, v: whdia_spmv(m, v, interpret=interpret),
+            a, x, alpha, beta, y)
     if getattr(a, "is_dd", False):
-        if not (isinstance(alpha, (int, float)) and alpha == 1
-                and isinstance(beta, (int, float)) and beta == 0):
-            raise NotImplementedError("alpha/beta on the dd WHDIA path: "
-                                      "combine on the caller side")
-        return whdia_spmv_dd_pallas(a, x, interpret=interpret)
+        z = whdia_spmv_dd_pallas(a, x, interpret=interpret)
+        return _dd_epilogue(z, alpha, beta, y)
     return whdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 
@@ -233,27 +309,30 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
                fused: bool = False):
     """Multi-RHS SpMM on WHELL (``x``: ``(n_rhs, n_cols)``).
 
-    Default strategy: one Pallas SpMV per RHS under one jit.  XLA
-    pipelines the independent kernels, which already delivers the
-    slab-amortisation a fused pass would: measured 42.9 GFLOPS
-    aggregate at 8 RHS on the packed 262k FEM config vs 29.1 for one
-    SpMV — and the fused single-pass kernels (``fused=True``) measure
-    WORSE (the per-(tile, rhs) fori overhead exceeds the shared-decode
-    saving on this VPU-op-bound kernel; r2 chip run: 8.9 GFLOPS).
-    Either way this is one device program, not the reference's
-    host-side loop of kernel launches (``sdot.cu:167-175`` pattern,
-    SURVEY §2.5)."""
+    Default strategy: one Pallas SpMV per RHS under one jit — one device
+    program, not the reference's host-side loop of kernel launches
+    (``sdot.cu:167-175`` pattern, SURVEY §2.5).  ``fused=True`` runs a
+    single-pass kernel that decodes the slab once per tile and loops
+    RHS (``lax.fori``); measured slower than the pipelined loop on the
+    packed 262k FEM config (r2 chip run: 8.9 GFLOPS fused vs 73.5 loop
+    — the per-(tile, rhs) fori overhead exceeds the shared-decode
+    saving).
+
+    dd matrices take ``x``: ``(n_rhs, 2, n_lane)`` hi/lo stacks; complex
+    matrices ``(n_rhs, 2, n_lane)`` [re, im] plane stacks (each RHS runs
+    the dispatching :func:`whell_spmv`)."""
     import jax.numpy as jnp
 
+    from spgpu_tpu.formats.whell import WhellComplex
     from spgpu_tpu.ops.pallas_kernels import (
         whell_spmm_packed_pallas,
         whell_spmm_pallas,
-        whell_spmv_pallas,
     )
 
     if interpret is None:
         interpret = not _on_tpu()
-    if fused:
+    special = getattr(a, "is_dd", False) or isinstance(a, WhellComplex)
+    if fused and not special:
         if getattr(a, "packed", False):
             zs = whell_spmm_packed_pallas(a, x, interpret=interpret)
             is_zero = isinstance(beta, (int, float)) and beta == 0
@@ -261,14 +340,14 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
                 return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
             return alpha * zs + beta * y
         return whell_spmm_pallas(a, x, alpha, beta, y, interpret=interpret)
+    # loop-of-SpMV through the dispatcher: covers fp32/bf16, dd, and
+    # complex matrices uniformly (per-RHS alpha/beta epilogues included)
     zs = jnp.stack([
-        whell_spmv_pallas(a, x[r], interpret=interpret)
+        whell_spmv(a, x[r], alpha=alpha, beta=beta,
+                   y=None if y is None else y[r], interpret=interpret)
         for r in range(int(x.shape[0]))
     ])
-    is_zero = isinstance(beta, (int, float)) and beta == 0
-    if is_zero or y is None:
-        return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
-    return alpha * zs + beta * y
+    return zs
 
 
 def whdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
@@ -298,6 +377,11 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
         BcooMatrix, DiaMatrix, EllMatrix, HdiaMatrix, HellMatrix,
         SdiaMatrix, WhdiaMatrix, WhellMatrix,
     )
+    from spgpu_tpu.formats.cplanes import ComplexPlanes
+    from spgpu_tpu.formats.whdia import BlockedWhdia
+    from spgpu_tpu.formats.whell import (
+        PanelledWhell, SegmentedWhell, WhellComplex,
+    )
 
     table = {
         EllMatrix: ell_spmv,
@@ -307,8 +391,15 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
         HdiaMatrix: hdia_spmv,
         BcooMatrix: bcoo_spmv,
         WhellMatrix: whell_spmv,
+        WhellComplex: whell_spmv,
+        PanelledWhell: whell_spmv,
+        SegmentedWhell: whell_spmv,
         WhdiaMatrix: whdia_spmv,
+        BlockedWhdia: whdia_spmv,
     }
+    if isinstance(a, ComplexPlanes):
+        fn = sdia_spmv if isinstance(a.ar, SdiaMatrix) else whdia_spmv
+        return fn(a, x, alpha, beta, y, **kw)
     try:
         fn = table[type(a)]
     except KeyError:

@@ -516,9 +516,12 @@ def _whell_packed_spmm_kernel(*refs, window_pages, chunk_tiles,
             pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
             blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
 
-        # RHS loop as lax.fori: unrolling n_rhs x chunk_tiles bodies
-        # explodes the Mosaic compile (DESIGN.md)
-        def rhs_body(r, _):
+        # RHS loop statically UNROLLED: the r2 lax.fori variant paid
+        # ~7 ns of loop overhead per (tile, RHS) — more than the whole
+        # shared-decode saving (measured 8.9 GFLOPS aggregate).  The
+        # caller bounds chunk_tiles * n_rhs so the Mosaic compile stays
+        # inside budget (whell_spmm_packed_pallas).
+        for r in range(n_rhs):
             if scattered:
                 h1 = None
                 for wb in range(ntab):
@@ -537,9 +540,6 @@ def _whell_packed_spmm_kernel(*refs, window_pages, chunk_tiles,
                     h1 = jnp.where(blk == wb, hb, h1)
             g = jnp.take_along_axis(h1, res, axis=1)
             zacc[r, pl.ds(hh, 1), :, :] += (v * g)[None]
-            return 0
-
-        jax.lax.fori_loop(0, n_rhs, rhs_body, 0)
 
     last = cgroup_ref[c] != cgroup_ref[c + 1]
 
@@ -609,9 +609,23 @@ def _whell_packed_spmm_call(values, residue, page_tab, seg_lo, seg_hi,
     )(*ops, values, residue, page_tab, seg_lo, seg_hi, x3d)
 
 
-def whell_spmm_packed_pallas(a, x, interpret: bool = False):
+#: Mosaic compile budget for the fused SpMM: unrolled bodies per grid
+#: step = chunk_tiles * rhs_per_pass (DESIGN.md §4: >~256 unrolled tile
+#: bodies push first compiles past 10 minutes)
+_SPMM_UNROLL_BUDGET = 256
+
+
+def whell_spmm_packed_pallas(a, x, interpret: bool = False,
+                             rhs_per_pass=None):
     """Fused ``Z = A @ X`` on a packed WHELL; ``x``: ``(n_rhs, n_lane)``
-    lane-space stack, returns ``(n_rhs, n_lane)``."""
+    lane-space stack, returns ``(n_rhs, n_lane)``.
+
+    The slab (values + indices) is decoded once per tile and amortised
+    over ``rhs_per_pass`` statically-unrolled products; a large RHS
+    block runs in multiple passes so the per-pass x copies + per-RHS
+    accumulators stay inside VMEM and ``chunk_tiles * rhs_per_pass``
+    inside the Mosaic unroll budget.  For maximum fusion convert with
+    ``chunk_tiles=16-32`` (the default ct=128 admits only 2 RHS/pass)."""
     from spgpu_tpu.formats.whell import PanelledWhell, SegmentedWhell
 
     n_rhs = int(x.shape[0])
@@ -620,32 +634,45 @@ def whell_spmm_packed_pallas(a, x, interpret: bool = False):
         off = 0
         for p in a.panels:
             zp = whell_spmm_packed_pallas(p, x[:, off:off + p.n_cols],
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          rhs_per_pass=rhs_per_pass)
             z = zp if z is None else z + zp
             off += p.n_cols
         return z
     if isinstance(a, SegmentedWhell):
         return jnp.concatenate([
-            whell_spmm_packed_pallas(s, x, interpret=interpret)
+            whell_spmm_packed_pallas(s, x, interpret=interpret,
+                                     rhs_per_pass=rhs_per_pass)
             for s in a.segments], axis=1)
-    nbytes = (n_rhs * a.x_pages * 128 * jnp.dtype(x.dtype).itemsize
-              + n_rhs * a.group_hacks * 8 * 128 * 4)
-    if nbytes > _X_VMEM_LIMIT_BYTES:
+    itemsize = jnp.dtype(x.dtype).itemsize
+    per_rhs = (a.x_pages * 128 + a.group_hacks * 8 * 128) * itemsize
+    if rhs_per_pass is None:
+        rhs_per_pass = n_rhs
+        while rhs_per_pass > 1 and (
+                rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES
+                or a.chunk_tiles * rhs_per_pass > _SPMM_UNROLL_BUDGET):
+            rhs_per_pass -= 1
+    if rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES:
         raise NotImplementedError(
-            f"X block + accumulator ({nbytes/2**20:.0f} MiB) exceeds the "
-            "VMEM budget; convert with panel_x_bytes ~ "
-            f"{_X_VMEM_LIMIT_BYTES // max(n_rhs, 1)} and loop panels")
+            f"X + accumulator for even one RHS ({per_rhs/2**20:.0f} MiB) "
+            "exceeds the VMEM budget; convert with panel_x_bytes or a "
+            "smaller group_hacks")
     pad = a.x_pages * 128 - a.n_cols
     x3 = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
     x3 = x3.reshape(n_rhs, a.x_pages, 128)
-    z = _whell_packed_spmm_call(
-        a.values, a.residue, a.page_tab, a.seg_lo, a.seg_hi,
-        a.tile_base, a.chunk_group, x3, a.group_bases,
-        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
-        window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
-        group_hacks=a.group_hacks, n_rhs=n_rhs, interpret=interpret,
-    )
-    return z.reshape(n_rhs, -1)[:, : a.n_rows]
+    outs = []
+    for r0 in range(0, n_rhs, rhs_per_pass):
+        rp = min(rhs_per_pass, n_rhs - r0)
+        z = _whell_packed_spmm_call(
+            a.values, a.residue, a.page_tab, a.seg_lo, a.seg_hi,
+            a.tile_base, a.chunk_group, x3[r0:r0 + rp], a.group_bases,
+            num_tiles=a.num_tiles, num_groups=a.num_groups,
+            x_pages=a.x_pages, window_pages=a.window_pages,
+            chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
+            n_rhs=rp, interpret=interpret,
+        )
+        outs.append(z.reshape(rp, -1)[:, : a.n_rows])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _whell_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, res_ref,
@@ -1316,14 +1343,22 @@ def _sdia_xwin(a9, r, lane):
     return jnp.where(lane < 128 - r, hi, lo)
 
 
-def _sdia_dd_kernel(vh_ref, vl_ref, x_hbm_ref, z_ref, x_vmem, xsem, *,
-                    offsets, margin_sub, chunk_tiles, interpret):
+def _sdia_dd_kernel(vh_ref, vl_ref, x_hbm_ref, zh_ref, zl_ref, x_vmem,
+                    xsem, *, offsets, margin_sub, chunk_tiles, interpret):
     """Double-float SDIA SpMV (D-precision parity with dia_dspmv.cu).
 
     Same static slice/rotate scheme as :func:`_sdia_kernel`; values and
     x are (hi, lo) fp32 pairs, the per-diagonal product is TwoProd and
     the across-diagonal accumulation stays in registers (each output
-    tile is written exactly once — no RMW chain at all)."""
+    tile is written exactly once — no RMW chain at all).
+
+    hi and lo words go to SEPARATE outputs: per-tile partial writes
+    interleaved across the leading dim of one ``(2, ct*8, 128)`` block
+    measured CORRUPTED lo words in interpret mode at some chunk shapes
+    (ct=8/2/1 — the same ``al`` stored to a separate output in the same
+    kernel was exact; XLA recomputes the stored value inside the DUS
+    fusion and drops the EFT structure).  Separate outputs sidestep the
+    rewrite and cost the compiled path nothing."""
     with __import__("contextlib").ExitStack() as _stack:
         from spgpu_tpu.ops import dd as _ddmod
 
@@ -1356,8 +1391,8 @@ def _sdia_dd_kernel(vh_ref, vl_ref, x_hbm_ref, z_ref, x_vmem, xsem, *,
                 else:
                     s, e2 = two_sum(ah, p)
                     ah, al = fast_two_sum(s, e2 + al + e)
-            z_ref[0, k * 8:(k + 1) * 8, :] = ah
-            z_ref[1, k * 8:(k + 1) * 8, :] = al
+            zh_ref[k * 8:(k + 1) * 8, :] = ah
+            zl_ref[k * 8:(k + 1) * 8, :] = al
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1376,18 +1411,20 @@ def _sdia_dd_call(values, values_lo, x3d, *, offsets, margin_sub, x_sub,
             pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, x_sub, 128)
         ],
-        out_specs=pl.BlockSpec((2, ct * 8, 128), lambda c: (0, c, 0)),
+        out_specs=(pl.BlockSpec((ct * 8, 128), lambda c: (c, 0)),
+                   pl.BlockSpec((ct * 8, 128), lambda c: (c, 0))),
         scratch_shapes=[
             pltpu.VMEM((2, x_sub, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
-    return pl.pallas_call(
+    zh, zl = pl.pallas_call(
         functools.partial(_sdia_dd_kernel, offsets=offsets,
                           margin_sub=margin_sub, chunk_tiles=ct,
                           interpret=interpret),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, rows8, 128), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((rows8, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((rows8, 128), jnp.float32)),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=30 * nd * n_tiles * 1024,
@@ -1396,6 +1433,7 @@ def _sdia_dd_call(values, values_lo, x3d, *, offsets, margin_sub, x_sub,
             transcendentals=0,
         ),
     )(values, values_lo, x3d)
+    return jnp.stack([zh, zl])
 
 
 def sdia_spmv_dd_pallas(a, x_pair, interpret: bool = False):

@@ -90,6 +90,23 @@ def _pad_stack_whell(mats):
     """Stack per-shard WhellMatrix leaves, padding tiles to the max."""
     import jax.numpy as jnp
 
+    # shared metadata comes from mats[0]: every shard MUST agree on the
+    # layout geometry or the stacked leaves silently mix conventions
+    m0 = mats[0]
+    for i, m in enumerate(mats[1:], 1):
+        same = (m.num_hacks == m0.num_hacks
+                and m.num_groups == m0.num_groups
+                and m.x_pages == m0.x_pages
+                and m.group_hacks == m0.group_hacks
+                and m.window_pages == m0.window_pages
+                and m.chunk_tiles == m0.chunk_tiles
+                and m.packed == m0.packed)
+        if not same:
+            raise ValueError(
+                f"shard {i} layout metadata diverges from shard 0 "
+                f"({(m.num_hacks, m.num_groups, m.x_pages, m.group_hacks, m.window_pages, m.chunk_tiles, m.packed)} vs "
+                f"{(m0.num_hacks, m0.num_groups, m0.x_pages, m0.group_hacks, m0.window_pages, m0.chunk_tiles, m0.packed)}) "
+                "— shards cannot stack into one sharded pytree")
     t_max = max(m.total_slots // 8 for m in mats)
     t_max = round_up(max(t_max, _CT), _CT)
 
@@ -119,7 +136,6 @@ def _pad_stack_whell(mats):
     leaves = tuple(
         jax.numpy.asarray(np.stack(x)) for x in (vals, res, pt, tb, cg)
     )
-    m0 = mats[0]
     meta = (m0.num_hacks, m0.num_groups, t_max * 8, m0.x_pages)
     return leaves, meta
 

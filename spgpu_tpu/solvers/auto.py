@@ -56,11 +56,14 @@ def solve(
     # which layout the auto-selector picks.
     coo = coo.sum_duplicates()
     if np.issubdtype(coo.values.dtype, np.complexfloating):
-        if symmetric and fmt in (None, "whell"):
-            # hermitian PD: plane-stacked complex CG on the packed fast
-            # path (C = fp32 planes, Z = dd planes)
-            return _solve_complex_herm(coo, b, tol, maxiter, x0)
-        # non-symmetric complex Krylov runs the XLA path
+        if fmt in (None, "whell", "whdia", "sdia"):
+            # plane-stacked complex Krylov on the fast paths
+            # (C = fp32 planes, Z = dd planes): hermitian PD runs CG,
+            # general systems BiCGSTAB — full C/Z solver coverage
+            # (reference C/Z instantiation is unconditional:
+            # zdot.cu/zaxpby.cu, dia_cspmv.cu, hdia_zspmv.cu)
+            return _solve_complex(coo, b, symmetric, tol, maxiter, x0, fmt)
+        # explicit fmt override: complex Krylov on the XLA path
         fmt = "hell"
     if fmt is None:
         fmt = suggest_format(coo)
@@ -147,19 +150,52 @@ def solve(
     return res
 
 
-def _solve_complex_herm(coo, b, tol, maxiter, x0):
-    """Hermitian PD complex solve on the packed plane fast path."""
+def _solve_complex(coo, b, symmetric, tol, maxiter, x0, fmt=None):
+    """Complex solve on the plane fast paths: hermitian PD → CG, general
+    → BiCGSTAB (C = fp32 planes, Z = dd planes).  Format selection as
+    in the real pipeline: banded structure routes to the DIA-class
+    plane layouts (WHDIA/SDIA), irregular to packed WHELL."""
     import jax.numpy as jnp
 
-    from spgpu_tpu.convert import coo_to_whell
-    from spgpu_tpu.ops import whell_spmv
-    from spgpu_tpu.solvers.cg import cg_herm_planes, cg_herm_planes_dd
+    from spgpu_tpu.convert import (
+        coo_to_sdia,
+        coo_to_whdia,
+        coo_to_whell,
+        suggest_format,
+    )
+    from spgpu_tpu.ops import sdia_spmv, whdia_spmv, whell_spmv
+    from spgpu_tpu.solvers.cg import (
+        bicgstab_planes,
+        bicgstab_planes_dd,
+        cg_herm_planes,
+        cg_herm_planes_dd,
+    )
 
-    a = coo_to_whell(coo, packed=True)
-    mv = lambda v: whell_spmv(a, v)
+    if fmt is None:
+        fmt = suggest_format(coo)
+        fmt = {"dia": "sdia", "ell": "whell"}.get(fmt, fmt)
+        if fmt == "sdia":
+            # two fp32 planes (4 dd) must share the kernel's VMEM budget
+            plane_b = 8 if coo.values.dtype == np.complex128 else 4
+            if coo.n_cols * plane_b > 11 * 2 ** 20:
+                fmt = "whdia"
+    if fmt == "whell":
+        a = coo_to_whell(coo, packed=True)
+        mv = lambda v: whell_spmv(a, v)
+    elif fmt == "whdia":
+        a = coo_to_whdia(coo)
+        mv = lambda v: whdia_spmv(a, v)
+    elif fmt == "sdia":
+        a = coo_to_sdia(coo)
+        mv = lambda v: sdia_spmv(a, v)
+    else:
+        raise ValueError(f"unknown complex fmt {fmt!r}")
     b = np.asarray(b)
     bs = jnp.asarray(a.embed_complex(b))
     x0s = None if x0 is None else jnp.asarray(a.embed_complex(np.asarray(x0)))
-    solver = cg_herm_planes_dd if a.is_dd else cg_herm_planes
+    if symmetric:
+        solver = cg_herm_planes_dd if a.is_dd else cg_herm_planes
+    else:
+        solver = bicgstab_planes_dd if a.is_dd else bicgstab_planes
     res = solver(mv, bs, x0=x0s, tol=tol, maxiter=maxiter)
     return res._replace(x=a.extract_complex(np.asarray(res.x)))

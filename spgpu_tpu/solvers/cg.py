@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from spgpu_tpu.ops import blas1
 
 __all__ = ["CgResult", "cg", "cg_dd", "cg_herm_planes", "cg_herm_planes_dd",
-           "bicgstab", "bicgstab_dd", "jacobi_preconditioner"]
+           "bicgstab", "bicgstab_dd", "bicgstab_planes",
+           "bicgstab_planes_dd", "jacobi_preconditioner"]
 
 
 class CgResult(NamedTuple):
@@ -284,6 +285,223 @@ def cg_herm_planes_dd(
     x, r, p, rz, k = jax.lax.while_loop(
         cond, body, (x0, r0, r0, jnp.stack(rz0), jnp.int32(0)))
     rnorm = jnp.sqrt(jnp.maximum(rz[0], 0.0))
+    return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
+
+
+def bicgstab_planes(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-6,
+    maxiter: int = 1000,
+) -> CgResult:
+    """BiCGSTAB for general (non-hermitian) COMPLEX systems on the
+    plane-stacked fast path: vectors are ``(2, n)`` fp32 [re, im] stacks
+    and ``matvec`` is the 4-plane-product SpMV (``ops.whell_spmv`` on a
+    :class:`~spgpu_tpu.formats.whell.WhellComplex`).  Krylov scalars are
+    (re, im) fp32 pairs — no complex dtype ever reaches the TPU, which
+    has no complex fp64 and lowers complex64 through slower paths.
+    Inner products are sesquilinear (``conj(u)·v``) — the C-precision
+    counterpart of the reference's Z BLAS ops (``zdot.cu:47-97``)."""
+
+    def cdot(u, v):
+        re = jnp.sum(u[0] * v[0] + u[1] * v[1])
+        im = jnp.sum(u[0] * v[1] - u[1] * v[0])
+        return jnp.stack([re, im])
+
+    def cmul(a, b2):
+        return jnp.stack([a[0] * b2[0] - a[1] * b2[1],
+                          a[0] * b2[1] + a[1] * b2[0]])
+
+    def cdiv(a, b2):
+        d = b2[0] * b2[0] + b2[1] * b2[1]
+        ds = jnp.where(d == 0, 1.0, d)
+        return jnp.stack([(a[0] * b2[0] + a[1] * b2[1]) / ds,
+                          (a[1] * b2[0] - a[0] * b2[1]) / ds])
+
+    def cvs(v, s):  # plane vector * scalar pair
+        return jnp.stack([s[0] * v[0] - s[1] * v[1],
+                          s[0] * v[1] + s[1] * v[0]])
+
+    def cabs2(a):
+        return a[0] * a[0] + a[1] * a[1]
+
+    def re_dot(u, v):
+        return jnp.sum(u[0] * v[0] + u[1] * v[1])
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = b - matvec(x0)
+    rhat = r0
+    bnorm = jnp.sqrt(re_dot(b, b))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    one = jnp.stack([jnp.float32(1.0), jnp.float32(0.0)])
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, k, down = s
+        rnorm = jnp.sqrt(re_dot(r, r))
+        return (rnorm > tol * bnorm) & (k < maxiter) & ~down
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, k, down = s
+        rho_new = cdot(rhat, r)
+        beta = cmul(cdiv(rho_new, rho), cdiv(alpha, omega))
+        p2 = r + cvs(p - cvs(v, omega), beta)
+        v2 = matvec(p2)
+        rv = cdot(rhat, v2)
+        alpha2 = cdiv(rho_new, rv)
+        s_vec = r - cvs(v2, alpha2)
+        t = matvec(s_vec)
+        tt = re_dot(t, t)  # <t,t> is real
+        ts = cdot(t, s_vec)
+        omega2 = jnp.where(tt == 0, jnp.zeros(2, jnp.float32),
+                           ts / jnp.where(tt == 0, 1.0, tt))
+        x2 = x + cvs(p2, alpha2) + cvs(s_vec, omega2)
+        r2 = s_vec - cvs(t, omega2)
+        tiny = jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32)
+        down2 = ((cabs2(rho_new) < tiny)
+                 | (cabs2(rv) < tiny)
+                 | (cabs2(omega2) < tiny)
+                 | ~jnp.isfinite(re_dot(r2, r2)))
+        keep = lambda new, old: jnp.where(down2, old, new)
+        return (keep(x2, x), keep(r2, r), p2, v2, rho_new, alpha2,
+                jnp.where(down2, omega, omega2), k + 1, down2)
+
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            jnp.int32(0), jnp.bool_(False))
+    x, r, p, v, rho, alpha, omega, k, down = jax.lax.while_loop(
+        cond, body, init)
+    rnorm = jnp.sqrt(re_dot(r, r))
+    return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
+
+
+def bicgstab_planes_dd(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    tol: float = 1e-12,
+    maxiter: int = 1000,
+) -> CgResult:
+    """Z-precision (dd-complex) BiCGSTAB: vectors are ``(2, 2, n)``
+    stacks ([re, im] × [hi, lo]); ``matvec`` is the dd 4-plane SpMV.
+    Krylov scalars are dd-complex ``(2, 2)`` stacks ([re, im] × [hi,
+    lo]); the same EFT pinning discipline as :func:`cg_dd` applies.
+    Z-coverage parity with the reference's unconditional Z instantiation
+    (``zdot.cu``, ``zaxpby.cu``)."""
+    from spgpu_tpu.ops import dd
+
+    pin = jax.lax.optimization_barrier
+
+    # --- dd-complex scalar algebra on (2, 2) [re, im] x [hi, lo] stacks
+    def zmul(a, b2):
+        rr = dd.dd_mul(a[0, 0], a[0, 1], b2[0, 0], b2[0, 1])
+        ii = dd.dd_mul(a[1, 0], a[1, 1], b2[1, 0], b2[1, 1])
+        ri = dd.dd_mul(a[0, 0], a[0, 1], b2[1, 0], b2[1, 1])
+        ir = dd.dd_mul(a[1, 0], a[1, 1], b2[0, 0], b2[0, 1])
+        re = dd.dd_add_dd(rr[0], rr[1], -ii[0], -ii[1])
+        im = dd.dd_add_dd(ri[0], ri[1], ir[0], ir[1])
+        return jnp.stack([jnp.stack(re), jnp.stack(im)])
+
+    def zdiv(a, b2):
+        # a / b = a * conj(b) / |b|^2, all dd
+        br2 = dd.dd_mul(b2[0, 0], b2[0, 1], b2[0, 0], b2[0, 1])
+        bi2 = dd.dd_mul(b2[1, 0], b2[1, 1], b2[1, 0], b2[1, 1])
+        den = dd.dd_add_dd(br2[0], br2[1], bi2[0], bi2[1])
+        dh = jnp.where(den[0] == 0, jnp.float32(1.0), den[0])
+        dl = jnp.where(den[0] == 0, jnp.float32(0.0), den[1])
+        nr1 = dd.dd_mul(a[0, 0], a[0, 1], b2[0, 0], b2[0, 1])
+        nr2 = dd.dd_mul(a[1, 0], a[1, 1], b2[1, 0], b2[1, 1])
+        nre = dd.dd_add_dd(nr1[0], nr1[1], nr2[0], nr2[1])
+        ni1 = dd.dd_mul(a[1, 0], a[1, 1], b2[0, 0], b2[0, 1])
+        ni2 = dd.dd_mul(a[0, 0], a[0, 1], b2[1, 0], b2[1, 1])
+        nim = dd.dd_add_dd(ni1[0], ni1[1], -ni2[0], -ni2[1])
+        re = dd.dd_div(nre[0], nre[1], dh, dl)
+        im = dd.dd_div(nim[0], nim[1], dh, dl)
+        return jnp.stack([jnp.stack(re), jnp.stack(im)])
+
+    def zdot(u, v):
+        # sesquilinear conj(u)·v on (2, 2, n) stacks -> (2, 2) scalar
+        rr = dd.dd_dot(u[0], v[0])
+        ii = dd.dd_dot(u[1], v[1])
+        ri = dd.dd_dot(u[0], v[1])
+        ir = dd.dd_dot(u[1], v[0])
+        re = dd.dd_add_dd(rr[0], rr[1], ii[0], ii[1])
+        im = dd.dd_add_dd(ri[0], ri[1], -ir[0], -ir[1])
+        return jnp.stack([jnp.stack(re), jnp.stack(im)])
+
+    def re_dot(u, v):
+        rr = dd.dd_dot(u[0], v[0])
+        ii = dd.dd_dot(u[1], v[1])
+        return dd.dd_add_dd(rr[0], rr[1], ii[0], ii[1])[0]
+
+    def zvs(v, s):
+        """vector (2, 2, n) * dd-complex scalar (2, 2)."""
+        rr = dd.dd_mul(v[0][0], v[0][1], s[0, 0], s[0, 1])
+        ii = dd.dd_mul(v[1][0], v[1][1], s[1, 0], s[1, 1])
+        ri = dd.dd_mul(v[1][0], v[1][1], s[0, 0], s[0, 1])
+        ir = dd.dd_mul(v[0][0], v[0][1], s[1, 0], s[1, 1])
+        re = dd.dd_add_dd(rr[0], rr[1], -ii[0], -ii[1])
+        im = dd.dd_add_dd(ri[0], ri[1], ir[0], ir[1])
+        return jnp.stack([jnp.stack(re), jnp.stack(im)])
+
+    def vadd(u, v):
+        return jnp.stack([
+            jnp.stack(dd.dd_add_dd(u[p][0], u[p][1], v[p][0], v[p][1]))
+            for p in range(2)])
+
+    def vneg(u):
+        return -u
+
+    def zabs2(a):
+        return a[0, 0] * a[0, 0] + a[1, 0] * a[1, 0]
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = pin(vadd(b, vneg(matvec(x0))))
+    rhat = r0
+    bnorm = jnp.sqrt(jnp.maximum(re_dot(b, b), 0.0))
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    zone = jnp.zeros((2, 2), jnp.float32).at[0, 0].set(1.0)
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, k, down = s
+        rnorm = jnp.sqrt(jnp.maximum(re_dot(r, r), 0.0))
+        return (rnorm > tol * bnorm) & (k < maxiter) & ~down
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, k, down = s
+        rho_new = pin(zdot(rhat, r))
+        beta = zmul(zdiv(rho_new, rho), zdiv(alpha, omega))
+        p2 = pin(vadd(r, zvs(vadd(p, vneg(zvs(v, omega))), beta)))
+        v2 = pin(matvec(p2))
+        rv = pin(zdot(rhat, v2))
+        alpha2 = pin(zdiv(rho_new, rv))
+        s_vec = pin(vadd(r, vneg(zvs(v2, alpha2))))
+        t = pin(matvec(s_vec))
+        tt = re_dot(t, t)
+        ts = zdot(t, s_vec)
+        tt_safe = jnp.where(tt == 0, jnp.float32(1.0), tt)
+        om_re = dd.dd_div(ts[0, 0], ts[0, 1], tt_safe, jnp.float32(0.0))
+        om_im = dd.dd_div(ts[1, 0], ts[1, 1], tt_safe, jnp.float32(0.0))
+        omega2 = pin(jnp.where(
+            tt == 0, jnp.zeros((2, 2), jnp.float32),
+            jnp.stack([jnp.stack(om_re), jnp.stack(om_im)])))
+        x2 = pin(vadd(vadd(x, zvs(p2, alpha2)), zvs(s_vec, omega2)))
+        r2 = pin(vadd(s_vec, vneg(zvs(t, omega2))))
+        tiny = jnp.asarray(jnp.finfo(jnp.float32).tiny, jnp.float32)
+        down2 = ((zabs2(rho_new) < tiny)
+                 | (zabs2(rv) < tiny)
+                 | (zabs2(omega2) < tiny)
+                 | ~jnp.isfinite(re_dot(r2, r2)))
+        keep = lambda new, old: jnp.where(down2, old, new)
+        return (keep(x2, x), keep(r2, r), p2, v2, rho_new, alpha2,
+                jnp.where(down2, omega, omega2), k + 1, down2)
+
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), zone, zone, zone,
+            jnp.int32(0), jnp.bool_(False))
+    x, r, p, v, rho, alpha, omega, k, down = jax.lax.while_loop(
+        cond, body, init)
+    rnorm = jnp.sqrt(jnp.maximum(re_dot(r, r), 0.0))
     return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
 
 

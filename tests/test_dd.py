@@ -234,3 +234,174 @@ def test_solve_float64_routes_dd():
     x = np.asarray(res.x, dtype=np.float64)
     resid = np.linalg.norm(b - coo.spmv(x)) / np.linalg.norm(b)
     assert resid < 1e-10
+
+
+@pytest.mark.parametrize("cdt,tol", [(np.complex64, 2e-4),
+                                     (np.complex128, 1e-10)])
+def test_bicgstab_complex_planes(cdt, tol):
+    """C/Z non-hermitian solve through solve() — plane-stacked BiCGSTAB
+    (bicgstab_planes / bicgstab_planes_dd).  Z coverage parity with the
+    reference's unconditional Z instantiation (zdot.cu, zaxpby.cu)."""
+    from spgpu_tpu import solvers
+    from spgpu_tpu.formats.coo import CooMatrix
+
+    rng = np.random.default_rng(7)
+    n = 500
+    # diag-dominant NON-hermitian tridiagonal complex system
+    d = 5.0 + 1j * rng.standard_normal(n)
+    up = (rng.standard_normal(n - 1) + 1j * rng.standard_normal(n - 1)) * .4
+    lo = (rng.standard_normal(n - 1) + 1j * rng.standard_normal(n - 1)) * .4
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([d, up, lo]).astype(cdt)
+    A = CooMatrix(rows, cols, vals, n, n)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(cdt)
+    solver_tol = 1e-6 if cdt == np.complex64 else 1e-12
+    res = solvers.solve(A, b, symmetric=False, tol=solver_tol, maxiter=800)
+    x = np.asarray(res.x)
+    assert x.dtype == np.dtype(cdt)
+    assert np.linalg.norm(b - A.spmv(x)) / np.linalg.norm(b) < tol
+
+
+@pytest.mark.parametrize("cdt,tol", [(np.complex64, 3e-5),
+                                     (np.complex128, 1e-12)])
+def test_complex_alpha_beta_epilogue(cdt, tol):
+    """alpha/beta on the complex fast path (reference signature parity:
+    hell_spmv_base.cuh:103-157 honours alpha/beta in every precision)."""
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.ops import whell_spmv
+
+    rng = np.random.default_rng(1)
+    base = random_fem_like(1200, 8.0, span=100, far_frac=0.01, seed=2,
+                           dtype=np.float64)
+    vals = (rng.standard_normal(base.nnz)
+            + 1j * rng.standard_normal(base.nnz)).astype(cdt)
+    coo = CooMatrix(base.rows, base.cols, vals, base.n_rows, base.n_cols)
+    a = coo_to_whell(coo, packed=True)
+    x = (rng.standard_normal(coo.n_cols)
+         + 1j * rng.standard_normal(coo.n_cols)).astype(cdt)
+    y = (rng.standard_normal(coo.n_rows)
+         + 1j * rng.standard_normal(coo.n_rows)).astype(cdt)
+    alpha, beta = 1.5 - 0.5j, -0.75 + 0.25j
+    z = whell_spmv(a, jnp.asarray(a.embed_complex(x)), alpha=alpha,
+                   beta=beta, y=jnp.asarray(a.embed_complex(y)),
+                   interpret=True)
+    zo = a.extract_complex(np.asarray(z))
+    ref = alpha * coo.spmv(x) + beta * y
+    assert np.abs(zo - ref).max() / np.abs(ref).max() < tol
+
+
+def test_dd_whdia_alpha_beta_epilogue():
+    """alpha/beta on the dd WHDIA path (was NotImplementedError in r2)."""
+    from spgpu_tpu.convert import coo_to_whdia
+    from spgpu_tpu.ops import whdia_spmv
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    coo = random_banded(1024, bands=5, wander=1, seed=4,
+                        dtype=np.float64).sum_duplicates()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(coo.n_cols)
+    y = rng.standard_normal(coo.n_rows)
+    a = coo_to_whdia(coo)
+    alpha, beta = 2.5, -1.25
+    z = whdia_spmv(a, jnp.asarray(dd.split(x)), alpha=alpha, beta=beta,
+                   y=jnp.asarray(dd.split(y)), interpret=True)
+    ref = alpha * coo.spmv(x) + beta * y
+    assert np.abs(dd.join(np.asarray(z)) - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_spmm_dd_and_complex_loop_path():
+    """whell_spmm dispatches dd and complex matrices per-RHS (was an
+    unguarded whell_spmv_pallas call in r2 — confusing dtype errors)."""
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.ops import whell_spmm
+
+    rng = np.random.default_rng(3)
+    base = random_fem_like(900, 8.0, span=90, far_frac=0.0, seed=6,
+                           dtype=np.float64)
+    # dd (float64) matrix, 3 RHS
+    a = coo_to_whell(base, packed=True)
+    xs = rng.standard_normal((3, base.n_cols))
+    x_st = jnp.asarray(np.stack([dd.split(a.embed(x)) for x in xs]))
+    z = whell_spmm(a, x_st, interpret=True)
+    for r in range(3):
+        ref = base.spmv(xs[r])
+        zr = dd.join(np.asarray(z[r]))[np.asarray(a.lane_of_row)]
+        assert np.abs(zr - ref).max() / np.abs(ref).max() < 1e-12
+
+    # complex64 matrix, 2 RHS
+    cvals = (base.values + 1j * rng.standard_normal(base.nnz)).astype(
+        np.complex64)
+    cco = CooMatrix(base.rows, base.cols, cvals, base.n_rows, base.n_cols)
+    ac = coo_to_whell(cco, packed=True)
+    xc = (rng.standard_normal((2, base.n_cols))
+          + 1j * rng.standard_normal((2, base.n_cols))).astype(np.complex64)
+    xc_st = jnp.asarray(np.stack([ac.embed_complex(x) for x in xc]))
+    zc = whell_spmm(ac, xc_st, interpret=True)
+    for r in range(2):
+        ref = cco.spmv(xc[r])
+        zr = ac.extract_complex(np.asarray(zc[r]))
+        assert np.abs(zr - ref).max() / np.abs(ref).max() < 3e-5
+
+
+@pytest.mark.parametrize("cdt,tol", [(np.complex64, 3e-5),
+                                     (np.complex128, 1e-12)])
+@pytest.mark.parametrize("which", ["whdia", "sdia"])
+def test_complex_dia_class_fast_path(cdt, tol, which):
+    """C/Z SpMV on the DIA-class fast paths — plane-pair WHDIA/SDIA
+    (reference parity: dia_cspmv.cu:28, dia_zspmv.cu, hdia_cspmv.cu,
+    hdia_zspmv.cu)."""
+    from spgpu_tpu.convert import coo_to_sdia, coo_to_whdia
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.formats.cplanes import ComplexPlanes
+    from spgpu_tpu.ops import sdia_spmv, spmv, whdia_spmv
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    rng = np.random.default_rng(8)
+    base = random_banded(1500, bands=7, wander=2 if which == "whdia" else 0,
+                         seed=3, dtype=np.float64).sum_duplicates()
+    vals = (base.values + 1j * rng.standard_normal(base.nnz)).astype(cdt)
+    coo = CooMatrix(base.rows, base.cols, vals, base.n_rows, base.n_cols)
+    a = coo_to_whdia(coo) if which == "whdia" else coo_to_sdia(coo)
+    assert isinstance(a, ComplexPlanes)
+    x = (rng.standard_normal(coo.n_cols)
+         + 1j * rng.standard_normal(coo.n_cols)).astype(cdt)
+    y = (rng.standard_normal(coo.n_rows)
+         + 1j * rng.standard_normal(coo.n_rows)).astype(cdt)
+    op = whdia_spmv if which == "whdia" else sdia_spmv
+    z = op(a, jnp.asarray(a.embed_complex(x)), interpret=True)
+    zo = a.extract_complex(np.asarray(z))
+    ref = coo.spmv(x)
+    assert np.abs(zo - ref).max() / np.abs(ref).max() < tol
+    assert zo.dtype == np.dtype(cdt)
+    # generic dispatch + alpha/beta epilogue
+    alpha, beta = 0.5 + 2.0j, -1.0 + 0.5j
+    z2 = spmv(a, jnp.asarray(a.embed_complex(x)), alpha=alpha, beta=beta,
+              y=jnp.asarray(a.embed_complex(y)), interpret=True)
+    ref2 = alpha * ref + beta * y
+    zo2 = a.extract_complex(np.asarray(z2))
+    assert np.abs(zo2 - ref2).max() / np.abs(ref2).max() < tol
+
+
+@pytest.mark.parametrize("cdt,tol", [(np.complex64, 2e-4),
+                                     (np.complex128, 1e-10)])
+def test_complex_solve_routes_dia_class(cdt, tol):
+    """solve() on a banded hermitian complex system routes to a DIA-class
+    plane layout and converges (C and Z)."""
+    from spgpu_tpu import solvers
+    from spgpu_tpu.formats.coo import CooMatrix
+
+    rng = np.random.default_rng(9)
+    n = 800
+    d = np.full(n, 6.0 + 0.0j)
+    off = (rng.standard_normal(n - 1) + 1j * rng.standard_normal(n - 1)) * .4
+    rows = np.concatenate([np.arange(n), np.arange(n - 1), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(1, n), np.arange(n - 1)])
+    vals = np.concatenate([d, off, np.conj(off)]).astype(cdt)
+    A = CooMatrix(rows, cols, vals, n, n)
+    b = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(cdt)
+    solver_tol = 1e-6 if cdt == np.complex64 else 1e-12
+    res = solvers.solve(A, b, tol=solver_tol, maxiter=600)
+    x = np.asarray(res.x)
+    assert x.dtype == np.dtype(cdt)
+    assert np.linalg.norm(b - A.spmv(x)) / np.linalg.norm(b) < tol

@@ -140,3 +140,21 @@ def test_dist_cg_whell():
     res = dist_cg(pm, b, mesh, tol=1e-5, maxiter=2000)
     assert bool(res.converged)
     np.testing.assert_allclose(coo.spmv(np.asarray(res.x)), b, atol=1e-3)
+
+
+def test_pad_stack_whell_rejects_divergent_metadata():
+    """_pad_stack_whell shares metadata from shard 0; divergent shard
+    geometry must raise instead of silently corrupting (VERDICT r2 #9)."""
+    import pytest
+
+    from spgpu_tpu.convert import coo_to_whell
+    from spgpu_tpu.parallel.partition_whell import _pad_stack_whell
+    from spgpu_tpu.utils.fixtures import random_fem_like
+
+    m1 = coo_to_whell(random_fem_like(256, 4.0, span=64, far_frac=0.0,
+                                      seed=0, dtype=np.float32))
+    m2 = coo_to_whell(random_fem_like(2048, 4.0, span=64, far_frac=0.0,
+                                      seed=1, dtype=np.float32))
+    assert (m1.num_hacks, m1.x_pages) != (m2.num_hacks, m2.x_pages)
+    with pytest.raises(ValueError, match="diverges"):
+        _pad_stack_whell([m1, m2])
