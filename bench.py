@@ -31,8 +31,110 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import json
 import sys
+import time
 
 import numpy as np
+
+
+def main_mtx(argv):
+    """Matrix-Market-driven bench: ``bench.py --mtx FILE [--fmt F]
+    [--iters N] [--cg TOL]`` — the ``hellPerf``/``diaPerf`` protocol
+    end-to-end on a real matrix file (load → symmetric unfold →
+    auto-layout → SpMV [→ CG]), one JSON line per stage
+    (``hellPerf.cpp:47-130``, ``diaPerf.cpp:160-292``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spgpu_tpu.convert import (
+        coo_to_sdia, coo_to_whdia, coo_to_whell, suggest_format)
+    from spgpu_tpu.core import hbm_bandwidth
+    from spgpu_tpu.io.mm import read_mm, read_mm_properties
+    from spgpu_tpu.ops import sdia_spmv, whdia_spmv, whell_spmv
+    from spgpu_tpu.ops.blas1 import dot
+    from spgpu_tpu.utils.timing import chained_time
+
+    path = argv[argv.index("--mtx") + 1]
+    fmt = argv[argv.index("--fmt") + 1] if "--fmt" in argv else None
+    iters = int(argv[argv.index("--iters") + 1]) if "--iters" in argv else 50
+    cg_tol = float(argv[argv.index("--cg") + 1]) if "--cg" in argv else None
+
+    props = read_mm_properties(path)
+    t0 = time.perf_counter()
+    coo = read_mm(path).sum_duplicates()
+    t_load = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "load", "file": os.path.basename(path),
+        "symmetry": props.symmetry, "field": props.field,
+        "n_rows": coo.n_rows, "n_cols": coo.n_cols, "nnz": coo.nnz,
+        "t_s": round(t_load, 3)}))
+
+    if fmt is None:
+        fmt = suggest_format(coo)
+        fmt = {"dia": "sdia", "ell": "whell"}.get(fmt, fmt)
+        if fmt == "sdia" and coo.n_cols * 4 > 11 * 2 ** 20:
+            fmt = "whdia"
+    conv = {"whell": lambda c: coo_to_whell(c, packed=True),
+            "whdia": coo_to_whdia, "sdia": coo_to_sdia}[fmt]
+    op = {"whell": whell_spmv, "whdia": whdia_spmv, "sdia": sdia_spmv}[fmt]
+    t0 = time.perf_counter()
+    a = conv(coo)
+    t_conv = time.perf_counter() - t0
+    pad = (a.values.size / max(coo.nnz, 1)) if hasattr(a, "values") else 0.0
+    print(json.dumps({
+        "stage": "convert", "fmt": fmt, "t_s": round(t_conv, 3),
+        "pad_factor": round(pad, 3),
+        "storage_bytes": int(getattr(a, "storage_bytes", 0))}))
+
+    rng = np.random.default_rng(1)
+    if fmt == "whell":
+        x = jnp.asarray(a.embed(
+            rng.standard_normal(coo.n_cols)), jnp.float32) \
+            if not getattr(a, "is_dd", False) else None
+        if x is None:  # float64 file -> dd stacks
+            from spgpu_tpu.ops import dd as _dd
+
+            x = jnp.asarray(_dd.split(a.embed(
+                rng.standard_normal(coo.n_cols))))
+    else:
+        xv = rng.standard_normal(coo.n_cols)
+        if getattr(a, "is_dd", False):
+            from spgpu_tpu.ops import dd as _dd
+
+            x = jnp.asarray(_dd.split(xv))
+        else:
+            x = jnp.asarray(xv, jnp.float32)
+    z = op(a, x)  # warm-up
+    checksum = float(np.asarray(dot(z, z)).sum())
+    scale = jnp.float32(1e-3)
+    t, _ = chained_time(lambda c, a: op(a, c) * scale, x, a,
+                        iters_lo=iters, iters_hi=10 * iters)
+    gflops = (2.0 * coo.nnz - 1.0) / t * 1e-9
+    bw = hbm_bandwidth()
+    print(json.dumps({
+        "stage": "spmv", "fmt": fmt, "t_avg_s": round(t, 9),
+        "gflops": round(gflops, 3), "checksum": checksum,
+        "roofline_frac": (round((int(getattr(a, "storage_bytes", 0))
+                                 + coo.n_rows * 8) / t / bw, 4)
+                          if bw else None)}))
+
+    if cg_tol is not None:
+        from spgpu_tpu import solvers
+
+        b = rng.standard_normal(coo.n_rows)
+        if not np.issubdtype(coo.values.dtype, np.floating) or \
+                coo.values.dtype == np.float32:
+            b = b.astype(np.float32)
+        t0 = time.perf_counter()
+        res = solvers.solve(coo, b, symmetric=props.is_symmetric,
+                            tol=cg_tol, maxiter=5000, fmt=fmt)
+        t_solve = time.perf_counter() - t0
+        xs = np.asarray(res.x, np.float64)
+        resid = float(np.linalg.norm(b - coo.spmv(xs))
+                      / np.linalg.norm(b))
+        print(json.dumps({
+            "stage": "solve", "solver": "cg" if props.is_symmetric
+            else "bicgstab", "iterations": int(res.iterations),
+            "true_resid": resid, "t_s": round(t_solve, 3)}))
 
 
 def main():
@@ -116,4 +218,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--mtx" in sys.argv:
+        main_mtx(sys.argv)
+    else:
+        main()

@@ -306,6 +306,65 @@ def run_suite(size: str = "small", out=print):
     return results
 
 
+def run_weak_scaling(rows_per_shard: int = 65536, shards=(1, 2, 4, 8),
+                     iters: int = 20, out=print):
+    """Weak-scaling nnz/s efficiency of the PACKED distributed SpMV
+    (:mod:`spgpu_tpu.parallel.partition_packed`): matrix rows grow with
+    the shard count, efficiency = (nnz/s at S shards) / (S x nnz/s at 1
+    shard).  On the CPU virtual-device mesh this is a machinery check
+    (virtual devices share one memory system — not a TPU prediction);
+    on a real pod slice it is the BASELINE ">=80% at 2+ hosts" row.
+    Returns one JSON-able dict per shard count."""
+    import jax
+    import jax.numpy as jnp
+
+    from spgpu_tpu.parallel.dist_spmv import (
+        _leaf_spec, local_matvec, shard_partitioned)
+    from spgpu_tpu.parallel.partition import make_row_mesh
+    from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+    from spgpu_tpu.utils.fixtures import random_banded
+    from spgpu_tpu.utils.timing import chained_time
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = len(jax.devices())
+    rows = []
+    base_rate = None
+    for S in shards:
+        if S > ndev:
+            continue
+        n = rows_per_shard * S
+        coo = random_banded(n, bands=11, wander=3, seed=2,
+                            dtype=np.float32).sum_duplicates()
+        pm = partition_coo_rows_packed(coo, S)
+        mesh = make_row_mesh(S)
+        pm_s = shard_partitioned(pm, mesh)
+        f = jax.jit(
+            jax.shard_map(partial(local_matvec, pm, "rows"), mesh=mesh,
+                          in_specs=(_leaf_spec(pm, "rows"), P("rows")),
+                          out_specs=P("rows"), check_vma=False))
+        rng = np.random.default_rng(0)
+        x0 = jax.device_put(
+            jnp.asarray(pm.embed(rng.standard_normal(n))),
+            NamedSharding(mesh, P("rows")))
+        scale = jnp.float32(1e-3)
+        t, _ = chained_time(lambda c, p: f(p, c) * scale, x0, pm_s,
+                            iters_lo=iters, iters_hi=10 * iters)
+        rate = coo.nnz / t
+        if base_rate is None:
+            base_rate = rate / S  # per-shard rate at the smallest mesh
+        row = {
+            "config": "weak_scaling", "fmt": "packed_dist_spmv",
+            "shards": S, "n_rows": n, "nnz": coo.nnz,
+            "t_avg_s": round(t, 9), "nnz_per_s": round(rate, 0),
+            "efficiency": round(rate / (S * base_rate), 4),
+        }
+        rows.append(row)
+        if out:
+            out(json.dumps(row))
+    return rows
+
+
 def run_blas1_suite(n: int, iters: int = 200):
     """Device-resident BLAS-1 rows: one jitted chained loop per op, the
     same scalar-fence protocol as the SpMV rows.  Traffic models: dot

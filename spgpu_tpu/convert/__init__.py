@@ -13,6 +13,7 @@ from spgpu_tpu.convert.whell import (
     symmetric_relabel,
     whell_update_values,
 )
+from spgpu_tpu.convert.pcell import coo_to_whell_percell
 from spgpu_tpu.convert.sdia import coo_to_sdia, dia_to_sdia
 from spgpu_tpu.convert.whdia import coo_to_whdia
 from spgpu_tpu.convert.select import estimate_formats, suggest_format
@@ -40,6 +41,7 @@ from spgpu_tpu.convert.host import (
 
 __all__ = [
     "coo_to_whell",
+    "coo_to_whell_percell",
     "coo_to_sdia",
     "dia_to_sdia",
     "coo_to_whdia",

@@ -537,7 +537,7 @@ def _coo_to_whell_packed(
                 total_slots=total, nnz=0, x_pages=x_pages,
                 seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
                 lane_of_row=jnp.asarray(lane_of_row),
-                window_pages=8 if scattered else w, orig_rows=n,
+                window_pages=(8 * (supers_per_tile or max(w // 8, 1)) if scattered else w), orig_rows=n,
                 group_hacks=gh, chunk_tiles=ct,
             ), (e, e, e)
         return WhellMatrix(
@@ -554,7 +554,7 @@ def _coo_to_whell_packed(
             x_pages=x_pages,
             seg_lo=jnp.asarray(seg_lo), seg_hi=jnp.asarray(seg_hi),
             lane_of_row=jnp.asarray(lane_of_row),
-            window_pages=8 if scattered else w, orig_rows=n,
+            window_pages=(8 * (supers_per_tile or max(w // 8, 1)) if scattered else w), orig_rows=n,
             group_hacks=gh, chunk_tiles=ct,
         )
 

@@ -236,6 +236,100 @@ class WhellMatrix:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class PcellWhell:
+    """Per-cell row-routing WHELL (round-3 kernel-family experiment;
+    see :mod:`spgpu_tpu.convert.pcell`).  Cells of many rows pack
+    densely per slot (one contiguous lane RUN per (row, slot)); the
+    kernel scans each contrib tile along lanes and differences the scan
+    at run ends, routing partials to output lanes via ``run_hi`` /
+    ``run_lo``.  Output is in ORIGINAL row order — no lane space."""
+
+    values: jax.Array  # (total_slots, 128)
+    residue: jax.Array  # (total_slots, 128) int8: col % 128
+    page_tab: jax.Array  # (total_slots, 128) int8: delta keyed by residue
+    run_hi: jax.Array  # (total_slots, 128) int8: run end lane, keyed by
+    #   the run's row OUTPUT LANE (row % 128); -1 = row absent from slot
+    run_lo: jax.Array  # (total_slots, 128) int8: lane before run start
+    tile_base: jax.Array  # (num_tiles,) int32: layout group | hh << 20
+    chunk_group: jax.Array  # (num_chunks+1,) int32, trailing -1 sentinel
+    group_bases: jax.Array  # (layout_groups * K,) int32 superpage bases
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    num_hacks: int = dataclasses.field(metadata=dict(static=True))
+    num_groups: int = dataclasses.field(metadata=dict(static=True))
+    total_slots: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    x_pages: int = dataclasses.field(default=8, metadata=dict(static=True))
+    window_pages: int = dataclasses.field(default=32,
+                                          metadata=dict(static=True))
+    group_hacks: int = dataclasses.field(default=512,
+                                         metadata=dict(static=True))
+    chunk_tiles: int = dataclasses.field(default=128,
+                                         metadata=dict(static=True))
+
+    hack_size = 128
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    @property
+    def is_dd(self) -> bool:
+        return False
+
+    @property
+    def num_tiles(self) -> int:
+        return self.total_slots // 8
+
+    @property
+    def storage_bytes(self) -> int:
+        n = self.values.size * self.values.dtype.itemsize
+        n += self.residue.size + self.page_tab.size
+        n += self.run_hi.size + self.run_lo.size
+        n += (self.tile_base.size + self.chunk_group.size
+              + self.group_bases.size) * 4
+        return int(n)
+
+    def to_dense(self) -> np.ndarray:
+        """Host densification (testing helper; duplicates add)."""
+        vals = np.asarray(self.values)
+        res = np.asarray(self.residue).astype(np.int64)
+        pt = np.asarray(self.page_tab).astype(np.int64)
+        meta = np.asarray(self.tile_base).astype(np.int64)
+        gi = meta & 0xFFFFF
+        hh = meta >> 20
+        gbase = np.asarray(self.group_bases).astype(np.int64)
+        K = self.window_pages // 8
+        hi = np.asarray(self.run_hi).astype(np.int64)
+        lo = np.asarray(self.run_lo).astype(np.int64)
+        cg = np.asarray(self.chunk_group)
+        out = np.zeros((self.n_rows, self.n_cols), vals.dtype)
+        for s in range(self.total_slots):
+            t = s // 8
+            hack = cg[t // self.chunk_tiles] * self.group_hacks + hh[t]
+            # row of each lane from the runs
+            row_of_lane = np.full(128, -1, np.int64)
+            for j in range(128):
+                if hi[s, j] >= 0:
+                    row_of_lane[lo[s, j] + 1: hi[s, j] + 1] = hack * 128 + j
+            v = vals[s]
+            ok = (v != 0) & (row_of_lane >= 0) & (row_of_lane < self.n_rows)
+            if not ok.any():
+                continue
+            r = res[s]
+            dlt = pt[s, r]
+            col = (gbase[gi[t] * K + (dlt >> 3)] + (dlt & 7)) * 128 + r
+            okc = ok & (col < self.n_cols)
+            np.add.at(out, (row_of_lane[okc], col[okc]), v[okc])
+        return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class PanelledWhell:
     """Column-panelled packed WHELL for matrices whose x exceeds the
     kernel's VMEM-resident budget (the reference's analogue is the ELL

@@ -269,8 +269,12 @@ def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
 
     if interpret is None:
         interpret = not _on_tpu()
-    from spgpu_tpu.formats.whell import WhellComplex
+    from spgpu_tpu.formats.whell import PcellWhell, WhellComplex
 
+    if isinstance(a, PcellWhell):
+        from spgpu_tpu.ops.pallas_kernels import pcell_spmv_pallas
+
+        return pcell_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
     if isinstance(a, WhellComplex):
         return _complex_plane_spmv(
             lambda m, v: whell_spmv(m, v, interpret=interpret),
@@ -306,21 +310,24 @@ def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
 
 
 def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
-               fused: bool = False):
+               fused=None):
     """Multi-RHS SpMM on WHELL (``x``: ``(n_rhs, n_cols)``).
 
-    Default strategy: one Pallas SpMV per RHS under one jit — one device
-    program, not the reference's host-side loop of kernel launches
-    (``sdot.cu:167-175`` pattern, SURVEY §2.5).  ``fused=True`` runs a
-    single-pass kernel that decodes the slab once per tile and loops
-    RHS (``lax.fori``); measured slower than the pipelined loop on the
-    packed 262k FEM config (r2 chip run: 8.9 GFLOPS fused vs 73.5 loop
-    — the per-(tile, rhs) fori overhead exceeds the shared-decode
-    saving).
+    Default strategy for packed fp32/bf16 layouts: the FUSED kernel —
+    the slab (values + indices) is decoded once per tile and amortised
+    over statically-unrolled RHS products, split into VMEM/compile-
+    budget passes (r3 chip, 262k FEM, 8 RHS: 111.6 GFLOPS aggregate on
+    the default geometry vs 105.2 loop-of-SpMV vs 97 single-SpMV rate;
+    116.9 with SpMM geometry gh=128/ct=32).  The r2 ``lax.fori`` fused
+    variant measured 8.9 GFLOPS — ~7 ns of loop overhead per (tile,
+    RHS); the static unroll removed it.
 
-    dd matrices take ``x``: ``(n_rhs, 2, n_lane)`` hi/lo stacks; complex
-    matrices ``(n_rhs, 2, n_lane)`` [re, im] plane stacks (each RHS runs
-    the dispatching :func:`whell_spmv`)."""
+    ``fused=False`` forces the loop-of-SpMV (one Pallas SpMV per RHS
+    under one jit); dd/complex matrices always take it, with ``x``:
+    ``(n_rhs, 2, n_lane)`` hi/lo or [re, im] stacks (each RHS runs the
+    dispatching :func:`whell_spmv`).  Either way this is one device
+    program, not the reference's host-side loop of kernel launches
+    (``sdot.cu:167-175`` pattern, SURVEY §2.5)."""
     import jax.numpy as jnp
 
     from spgpu_tpu.formats.whell import WhellComplex
@@ -332,6 +339,8 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     special = getattr(a, "is_dd", False) or isinstance(a, WhellComplex)
+    if fused is None:
+        fused = getattr(a, "packed", False) and not special
     if fused and not special:
         if getattr(a, "packed", False):
             zs = whell_spmm_packed_pallas(a, x, interpret=interpret)

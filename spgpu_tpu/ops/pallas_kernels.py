@@ -652,7 +652,9 @@ def whell_spmm_packed_pallas(a, x, interpret: bool = False,
                 rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES
                 or a.chunk_tiles * rhs_per_pass > _SPMM_UNROLL_BUDGET):
             rhs_per_pass -= 1
-    if rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES:
+    rhs_per_pass = max(1, min(rhs_per_pass,
+                              _X_VMEM_LIMIT_BYTES // max(per_rhs, 1)))
+    if per_rhs > _X_VMEM_LIMIT_BYTES:
         raise NotImplementedError(
             f"X + accumulator for even one RHS ({per_rhs/2**20:.0f} MiB) "
             "exceeds the VMEM budget; convert with panel_x_bytes or a "
@@ -791,6 +793,138 @@ def whell_spmm_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
     if a.ways > 1:
         # way-split rows: sum each way group back to one true row
         acc = acc.reshape(n_rhs, a.n_rows // a.ways, a.ways).sum(axis=2)
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if is_zero or y is None:
+        return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
+    return alpha * acc + beta * y
+
+
+def _pcell_kernel(tmeta_ref, cgroup_ref, gbase_ref, vals_ref, res_ref,
+                  pt_ref, rhi_ref, rlo_ref, x_hbm_ref, z_ref, zacc,
+                  x_vmem, xsem, *, window_pages, chunk_tiles, group_hacks):
+    """Per-cell row-routing SpMV (the round-3 kernel-family experiment;
+    layout in :mod:`spgpu_tpu.convert.pcell`).
+
+    Per tile: the usual scattered-window gather chain produces the
+    contrib tile; an inclusive lane prefix scan + differencing at run
+    END lanes (the ``run_hi``/``run_lo`` slabs, keyed by each run's row
+    OUTPUT lane) routes every row's partial sum to its output lane; the
+    routed tile accumulates into the group scratch.  The group flush is
+    then a plain slot/parity sum (the WHDIA flush) — the packed
+    kernel's segment scan + compaction moved from the flush into the
+    per-tile path, paid for by ~0.76x the tiles (pad 1.74 -> ~1.33)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        zacc[:] = jnp.zeros_like(zacc)
+
+    ntab = window_pages // 8
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        meta = tmeta_ref[t]
+        gidx = jax.lax.bitwise_and(meta, jnp.int32(0xFFFFF))
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(20))
+        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+        blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+        h1 = None
+        for wb in range(ntab):
+            winb = x_vmem[pl.ds(gbase_ref[gidx * ntab + wb], 8), :]
+            hb = jnp.take_along_axis(winb, pt7, axis=0)
+            h1 = hb if h1 is None else jnp.where(blk == wb, hb, h1)
+        g = jnp.take_along_axis(h1, res, axis=1)
+        v = vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype)
+        p = v * g
+        # inclusive lane prefix scan: 7 hardware lane ROLLS + masked adds
+        # (a lane-misaligned concatenate per round measured ~30x slower —
+        # Mosaic lowers it as a scalar shuffle, ~350 ns/tile)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            p = p + jnp.where(lane_i >= s, pltpu.roll(p, s, 1),
+                              jnp.zeros_like(p))
+        hi = rhi_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        lo = rlo_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        p_hi = jnp.take_along_axis(p, jnp.maximum(hi, 0), axis=1)
+        p_lo = jnp.take_along_axis(p, jnp.maximum(lo, 0), axis=1)
+        routed = (p_hi * (hi >= 0).astype(p.dtype)
+                  - p_lo * (lo >= 0).astype(p.dtype))
+        zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += routed[None]
+
+    last = cgroup_ref[c] != cgroup_ref[c + 1]
+
+    @pl.when(last)
+    def _():
+        acc = zacc[:].reshape(2, group_hacks, 8, 128)
+        z_ref[:] = acc.sum(axis=(0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "interpret"))
+def _pcell_spmv_call(values, residue, page_tab, run_hi, run_lo,
+                     tile_base, chunk_group, group_bases, x2d, *,
+                     num_tiles, num_groups, x_pages, window_pages,
+                     chunk_tiles, group_hacks, interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
+        ],
+        out_specs=pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * gh, 8, 128), x2d.dtype),
+            pltpu.VMEM((x_pages, 128), x2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_pcell_kernel, window_pages=window_pages,
+                          chunk_tiles=ct, group_hacks=gh),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), x2d.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * 8 + x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, chunk_group, group_bases, values, residue, page_tab,
+      run_hi, run_lo, x2d)
+
+
+def pcell_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
+                      interpret: bool = False):
+    """``z = beta*y + alpha*(A @ x)`` on the per-cell-routing layout;
+    x and z are ORIGINAL-space vectors (no lane embedding)."""
+    x2d = _prep_x(x, a.n_cols, a.x_pages)
+    z = _pcell_spmv_call(
+        a.values, a.residue, a.page_tab, a.run_hi, a.run_lo,
+        a.tile_base, a.chunk_group, a.group_bases, x2d,
+        num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
+        window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
+        group_hacks=a.group_hacks, interpret=interpret,
+    )
+    acc = z.reshape(-1)[: a.n_rows]
     is_zero = isinstance(beta, (int, float)) and beta == 0
     if is_zero or y is None:
         return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc

@@ -36,6 +36,11 @@ def _dist_solve(
     m_inv: Optional[jax.Array] = None,
     axis: str = "rows",
 ):
+    from spgpu_tpu.parallel.partition_packed import PackedPartition
+
+    if isinstance(pm, PackedPartition):
+        return _dist_solve_packed(solver, pm, b, mesh, x0, tol, maxiter,
+                                  m_inv, axis)
     S, chunk = pm.n_shards, pm.chunk
 
     def put(v):
@@ -68,6 +73,73 @@ def _dist_solve(
     )
     res = f(pm_s, bp, x0p, mp)
     return res._replace(x=res.x.reshape(-1)[: pm.n_rows])
+
+
+def _dist_solve_packed(
+    solver,
+    pm,
+    b,
+    mesh: Mesh,
+    x0,
+    tol: float,
+    maxiter: int,
+    m_inv,
+    axis: str,
+):
+    """Distributed Krylov solve on a
+    :class:`~spgpu_tpu.parallel.partition_packed.PackedPartition` — the
+    production path: the whole iteration (packed-WHELL Pallas matvec,
+    halo all-to-all, reductions) lives in one ``shard_map``; state
+    vectors are stacked per-shard lane-space blocks.  float64 systems
+    run :func:`~spgpu_tpu.solvers.cg.cg_dd` with error-free cross-shard
+    reductions."""
+    import numpy as np
+
+    from spgpu_tpu.parallel.dist_spmv import local_matvec
+    from spgpu_tpu.solvers.cg import cg_dd
+
+    def put(arr):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(axis)))
+
+    bp = put(pm.embed(np.asarray(b)))
+    x0p = put(pm.embed(np.asarray(x0))) if x0 is not None else (
+        jnp.zeros_like(bp))
+    # m_inv (Jacobi diagonal) embeds as plain fp32 in lane space; phantom
+    # coordinates hold zero residuals so their preconditioner value is
+    # irrelevant
+    # identity preconditioner when none given (elementwise ones)
+    lor = np.asarray(pm.lane_of_row)
+    m_st = np.ones((pm.n_shards, pm.n_lane), np.float32)
+    if m_inv is not None:
+        mh = np.asarray(m_inv, np.float64).astype(np.float32)
+        for s in range(pm.n_shards):
+            lo_ = s * pm.chunk
+            nloc = max(0, min((s + 1) * pm.chunk, pm.n_rows) - lo_)
+            m_st[s, lor[s, :nloc]] = mh[lo_:lo_ + nloc]
+    mp = put(m_st if pm.is_dd else m_st.astype(bp.dtype))
+    pm_s = shard_partitioned(pm, mesh, axis)
+    use_dd = pm.is_dd
+
+    def shard_body(lpm, b_l, x0_l, m_l):
+        mv = lambda v: local_matvec(pm, axis, lpm, v[None])[0]
+        if use_dd:
+            res = cg_dd(mv, b_l[0], x0=x0_l[0], tol=tol, maxiter=maxiter,
+                        m_inv=m_l[0], axis_name=axis)
+        else:
+            res = solver(mv, b_l[0], x0=x0_l[0], tol=tol, maxiter=maxiter,
+                         m_inv=m_l[0], axis_name=axis)
+        return res._replace(x=res.x[None])
+
+    in_specs = (_leaf_spec(pm, axis), P(axis), P(axis), P(axis))
+    out_specs = CgResult(
+        x=P(axis), iterations=P(), residual_norm=P(), converged=P())
+    f = jax.jit(
+        jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    )
+    res = f(pm_s, bp, x0p, mp)
+    x = pm.extract(np.asarray(res.x))
+    return res._replace(x=x)
 
 
 def dist_cg(pm, b, mesh, **kw):

@@ -43,11 +43,30 @@ def local_matvec(pm, axis: str, lpm, x_local):
 
     ``lpm`` is the shard's block of the partitioned pytree (leading shard
     axis of size 1); ``x_local`` is the shard's ``(1, chunk)`` block of
-    x.  Returns the local ``(1, chunk)`` block of ``A @ x``.  The local
-    products run WHELL Pallas kernels for a :class:`PartitionedWhell`,
-    or the portable XLA path for a :class:`PartitionedMatrix`.
+    x (packed partitions: ``(1, L)`` lane-space block, dd ``(1, 2, L)``).
+    Returns the local block of ``A @ x``.  The local products run the
+    PACKED WHELL Pallas kernel for a :class:`PackedPartition` (the
+    production path), classic WHELL Pallas for a
+    :class:`PartitionedWhell`, or the portable XLA path for a
+    :class:`PartitionedMatrix`.
     """
+    from spgpu_tpu.parallel.partition_packed import PackedPartition
     from spgpu_tpu.parallel.partition_whell import PartitionedWhell
+
+    if isinstance(pm, PackedPartition):
+        from spgpu_tpu.ops import whell_spmv
+
+        xl = x_local[0]  # (L,) fp32 | (2, L) dd, in lane space
+        send = xl[..., lpm.send_lane_idx[0]]  # (..., S, K)
+        if send.ndim == 2:
+            halo = jax.lax.all_to_all(send, axis, 0, 0).reshape(-1)
+            xf = xl.at[lpm.halo_lanes[0]].set(halo)
+        else:  # dd: (2, S, K)
+            halo = jax.lax.all_to_all(send, axis, 1, 1).reshape(2, -1)
+            xf = xl.at[:, lpm.halo_lanes[0]].set(halo)
+        a = pm.local_view(lpm)
+        z = whell_spmv(a, xf[..., : a.n_cols])
+        return z[None]
 
     xl = x_local[0]
     # halo exchange: pack (gath), all-to-all over ICI, flat receive buffer
@@ -88,10 +107,21 @@ def dist_spmv(
     """Distributed ``A @ x`` for a row-partitioned square matrix.
 
     ``x`` is a global ``(n,)`` vector (replicated or sharded); the result
-    is the global ``(n,)`` product, sharded over ``axis``.
+    is the global ``(n,)`` product, sharded over ``axis``.  For a
+    :class:`~spgpu_tpu.parallel.partition_packed.PackedPartition` the
+    vector crosses through ``pm.embed``/``pm.extract`` (lane space);
+    both take and return original-numbering ``(n,)`` vectors.
     """
-    xp = pad_vector(x, pm.padded_rows).reshape(pm.n_shards, pm.chunk)
-    xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
+    import numpy as np
+
+    from spgpu_tpu.parallel.partition_packed import PackedPartition
+
+    if isinstance(pm, PackedPartition):
+        xp = jax.device_put(jax.numpy.asarray(pm.embed(np.asarray(x))),
+                            NamedSharding(mesh, P(axis)))
+    else:
+        xp = pad_vector(x, pm.padded_rows).reshape(pm.n_shards, pm.chunk)
+        xp = jax.device_put(xp, NamedSharding(mesh, P(axis)))
     pm_s = shard_partitioned(pm, mesh, axis)
     f = jax.jit(
         jax.shard_map(
@@ -105,6 +135,8 @@ def dist_spmv(
         )
     )
     z = f(pm_s, xp)
+    if isinstance(pm, PackedPartition):
+        return jax.numpy.asarray(pm.extract(np.asarray(z)))
     return z.reshape(-1)[: pm.n_rows]
 
 

@@ -1,0 +1,331 @@
+"""Row partitioning onto PACKED WHELL slabs — the production fast path
+inside ``shard_map``.
+
+The r2 distributed layer ran the *classic* WHELL layout per shard
+(:mod:`spgpu_tpu.parallel.partition_whell`); the packed-lane layout (the
+98-GFLOPS single-chip kernel, :mod:`spgpu_tpu.formats.whell`) never
+executed inside a mesh.  This module closes that gap.
+
+Design: each shard's local block — interior columns AND halo columns —
+converts as ONE packed matrix over an *extended square space* of
+``chunk + S*K`` coordinates:
+
+* coordinates ``0..chunk-1`` are the shard's local rows/columns;
+* coordinates ``chunk..chunk+S*K-1`` are **phantom halo rows** (no
+  matrix entries) whose lane-space labels serve as the halo *columns*:
+  exterior entries point at ``chunk + halo_pos``.
+
+The packed converter relabels rows and columns jointly into lane space,
+so the halo slots get lane coordinates for free; per SpMV the received
+halo block is scattered into those lanes (``x.at[halo_lanes].set``, a
+few hundred elements) and ONE packed kernel computes interior +
+exterior together — no separate exterior slab, no per-product output
+remap.  Phantom rows have no entries, so their output lanes stay zero
+and the Krylov state is closed under the matvec.
+
+The reference has no distributed layer (SURVEY §2.6); its device-side
+halo primitives were ``gath``/``scat`` + the OELL permutation
+(``gath_base.cuh:32-85``, ``ell.c:161-202``).  Here the pack is a lane
+gather, the exchange one ``jax.lax.all_to_all`` over the mesh axis, and
+the unpack a lane scatter — all device-resident.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from spgpu_tpu.core import round_up
+from spgpu_tpu.formats import CooMatrix, WhellMatrix
+from spgpu_tpu.convert.whell import coo_to_whell
+
+__all__ = ["PackedPartition", "partition_coo_rows_packed"]
+
+_HACK = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PackedPartition:
+    """Row-partitioned square matrix; one packed-WHELL slab per shard
+    over the extended (local + halo) coordinate space.  Every array
+    leaf has a leading shard axis and shards along it."""
+
+    values: jax.Array  # (S, T*8, 128)
+    residue: jax.Array  # (S, T*8, 128) int8
+    page_tab: jax.Array  # (S, T*8, 128) int8
+    seg_lo: jax.Array  # (S, num_groups*gh, 128) int8
+    seg_hi: jax.Array  # (S, num_groups*gh, 128) int8
+    tile_base: jax.Array  # (S, T) int32
+    chunk_group: jax.Array  # (S, n_chunks+1) int32 (trailing -1 sentinel)
+    lane_of_row: jax.Array  # (S, chunk + S*K) int32: extended-space -> lane
+    send_lane_idx: jax.Array  # (S, S, K) int32: LANE coords on the owner
+    halo_lanes: jax.Array  # (S, S*K) int32: lane coords of halo slots
+    group_bases: Optional[jax.Array]  # (S, LG*K) int32 | None (scattered)
+    values_lo: Optional[jax.Array]  # (S, T*8, 128) | None (dd)
+    # static metadata (common across shards after padding)
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    chunk: int = dataclasses.field(metadata=dict(static=True))
+    halo_width: int = dataclasses.field(metadata=dict(static=True))  # K
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    num_hacks: int = dataclasses.field(metadata=dict(static=True))
+    num_groups: int = dataclasses.field(metadata=dict(static=True))
+    total_slots: int = dataclasses.field(metadata=dict(static=True))
+    x_pages: int = dataclasses.field(metadata=dict(static=True))
+    window_pages: int = dataclasses.field(metadata=dict(static=True))
+    group_hacks: int = dataclasses.field(metadata=dict(static=True))
+    chunk_tiles: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def is_dd(self) -> bool:
+        return self.values_lo is not None
+
+    @property
+    def n_lane(self) -> int:
+        """Per-shard lane-space length (the Krylov state width)."""
+        return self.num_groups * self.group_hacks * _HACK
+
+    @property
+    def padded_rows(self) -> int:
+        return self.n_shards * self.chunk
+
+    @property
+    def storage_bytes(self) -> int:
+        tot = 0
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if hasattr(v, "size") and hasattr(v, "dtype"):
+                tot += int(v.size) * np.dtype(v.dtype).itemsize
+        return tot
+
+    def local_view(self, lpm) -> WhellMatrix:
+        """One shard's packed WhellMatrix from its block-sliced leaves
+        (leading shard axis of size 1)."""
+        return WhellMatrix(
+            values=lpm.values[0], residue=lpm.residue[0],
+            page_tab=lpm.page_tab[0], tile_base=lpm.tile_base[0],
+            chunk_group=lpm.chunk_group[0], row_perm=None,
+            n_rows=self.n_lane, n_cols=self.x_pages * _HACK,
+            num_hacks=self.num_hacks, num_groups=self.num_groups,
+            total_slots=self.total_slots, nnz=0, x_pages=self.x_pages,
+            seg_lo=lpm.seg_lo[0], seg_hi=lpm.seg_hi[0],
+            lane_of_row=lpm.lane_of_row[0],
+            values_lo=None if self.values_lo is None else lpm.values_lo[0],
+            group_bases=(None if self.group_bases is None
+                         else lpm.group_bases[0]),
+            window_pages=self.window_pages, orig_rows=self.chunk,
+            group_hacks=self.group_hacks, chunk_tiles=self.chunk_tiles,
+        )
+
+    # --- host-side embed/extract between global vectors and the stacked
+    # per-shard lane spaces -------------------------------------------------
+
+    def embed(self, x: np.ndarray) -> np.ndarray:
+        """Global ``(n,)`` vector → ``(S, L)`` stacked lane-space blocks
+        (dd: ``(n,) float64`` → ``(S, 2, L)`` hi/lo)."""
+        x = np.asarray(x)
+        lor = np.asarray(self.lane_of_row)
+        L = self.n_lane
+        S, chunk = self.n_shards, self.chunk
+        if self.is_dd:
+            from spgpu_tpu.ops.dd import split as _split
+
+            out = np.zeros((S, 2, L), np.float32)
+            pair = _split(x)
+            for s in range(S):
+                lo_ = s * chunk
+                nloc = max(0, min((s + 1) * chunk, self.n_rows) - lo_)
+                out[s, :, lor[s, :nloc]] = pair[:, lo_:lo_ + nloc].T
+            return out
+        out = np.zeros((S, L), x.dtype)
+        for s in range(S):
+            lo_ = s * chunk
+            nloc = max(0, min((s + 1) * chunk, self.n_rows) - lo_)
+            out[s, lor[s, :nloc]] = x[lo_:lo_ + nloc]
+        return out
+
+    def extract(self, z) -> np.ndarray:
+        """Stacked ``(S, L)`` lane-space blocks → global ``(n,)``
+        (dd: ``(S, 2, L)`` → float64)."""
+        z = np.asarray(z)
+        lor = np.asarray(self.lane_of_row)
+        S, chunk = self.n_shards, self.chunk
+        if self.is_dd:
+            from spgpu_tpu.ops.dd import join as _join
+
+            parts = []
+            for s in range(S):
+                nloc = max(0, min((s + 1) * chunk, self.n_rows) - s * chunk)
+                parts.append(_join(z[s][:, lor[s, :nloc]]))
+            return np.concatenate(parts)
+        parts = []
+        for s in range(S):
+            nloc = max(0, min((s + 1) * chunk, self.n_rows) - s * chunk)
+            parts.append(z[s][lor[s, :nloc]])
+        return np.concatenate(parts)
+
+
+def _common_geometry(max_nnz: int, max_rows: int, is_dd: bool):
+    """(group_hacks, chunk_tiles) shared by every shard — the same
+    measured heuristics as ``coo_to_whell`` applied to the LARGEST
+    shard, so stacked leaves agree by construction."""
+    est_tiles = max(1, max_nnz // 1024)
+    num_hacks = -(-max_rows // _HACK)
+    if is_dd:
+        ct = 32 if est_tiles >= 128 else 16
+        gh = 128 if num_hacks >= 128 else 32
+    else:
+        ct = 128 if est_tiles >= 512 else (64 if est_tiles >= 128 else 32)
+        gh = 512 if num_hacks >= 512 else (128 if num_hacks >= 128 else 32)
+    return gh, ct
+
+
+def partition_coo_rows_packed(
+    coo: CooMatrix,
+    n_shards: int,
+) -> PackedPartition:
+    """Build a :class:`PackedPartition` from a square host COO."""
+    if coo.n_rows != coo.n_cols:
+        raise ValueError("halo-partitioned SpMV requires a square matrix")
+    import jax.numpy as jnp
+
+    n = coo.n_rows
+    chunk = round_up(-(-n // n_shards), _HACK)
+    owner_r = coo.rows // chunk
+    per_shard = []
+    for s in range(n_shards):
+        sel = owner_r == s
+        per_shard.append(
+            (coo.rows[sel] - s * chunk, coo.cols[sel], coo.values[sel]))
+
+    # halo plan (same construction as partition_coo_rows)
+    ext_needed = []
+    for s in range(n_shards):
+        _, cols_g, _ = per_shard[s]
+        owner_c = cols_g // chunk
+        ext = (np.unique(cols_g[owner_c != s]) if cols_g.size
+               else np.array([], np.int64))
+        ext_needed.append(ext)
+    send_list = [[None] * n_shards for _ in range(n_shards)]
+    K = 1
+    for s in range(n_shards):
+        ext = ext_needed[s]
+        owners = ext // chunk
+        for p in range(n_shards):
+            lst = (ext[owners == p] - p * chunk).astype(np.int64)
+            send_list[p][s] = lst
+            K = max(K, lst.size)
+    K = round_up(K, 8)
+
+    send_idx = np.zeros((n_shards, n_shards, K), dtype=np.int64)
+    halo_pos = []
+    for s in range(n_shards):
+        ext = ext_needed[s]
+        owners = ext // chunk
+        pos = np.empty(ext.size, dtype=np.int64)
+        for p in range(n_shards):
+            sel = owners == p
+            lst = send_list[p][s]
+            send_idx[p, s, : lst.size] = lst
+            pos[sel] = p * K + np.arange(lst.size)
+        halo_pos.append((ext, pos))
+
+    # per-shard packed conversion over the extended square space
+    E = chunk + n_shards * K
+    is_dd = np.dtype(coo.values.dtype) == np.float64
+    gh, ct = _common_geometry(max(v.size for _, _, v in per_shard),
+                              E, is_dd)
+    mats = []
+    for s in range(n_shards):
+        lrows, cols_g, vals = per_shard[s]
+        owner_c = cols_g // chunk
+        is_int = owner_c == s
+        ext, pos = halo_pos[s]
+        ec = cols_g[~is_int]
+        hp = pos[np.searchsorted(ext, ec)] if ec.size else ec
+        rows_e = lrows
+        cols_e = np.where(is_int, cols_g - s * chunk,
+                          chunk + np.zeros_like(cols_g))
+        cols_e = cols_e.copy()
+        cols_e[~is_int] = chunk + hp
+        m = coo_to_whell(CooMatrix(rows_e, cols_e, vals, E, E),
+                         packed=True, group_hacks=gh, chunk_tiles=ct)
+        if not isinstance(m, WhellMatrix):
+            raise ValueError(
+                "a shard's packed layout needed panels/segments "
+                f"({type(m).__name__}) — use more shards or the classic "
+                "partition for this size")
+        mats.append(m)
+
+    # pad every shard to the common stacking shape
+    ng_c = max(m.num_groups for m in mats)
+    tiles_c = max(m.num_tiles for m in mats)
+    tiles_c = round_up(max(tiles_c, ct), ct)
+    xp_c = max(m.x_pages for m in mats)
+    wsel = mats[0].window_pages
+    # empty shards convert without a superpage table — treat the
+    # partition as scattered if ANY shard is (zeros elsewhere)
+    scat = any(m.group_bases is not None for m in mats)
+    lg_c = (max(m.group_bases.shape[0] for m in mats
+                if m.group_bases is not None) if scat else 0)
+
+    def pad2(a, rows, fill=0):
+        a = np.asarray(a)
+        if a.shape[0] == rows:
+            return a
+        extra = np.full((rows - a.shape[0],) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, extra])
+
+    leaves = dict(values=[], residue=[], page_tab=[], seg_lo=[], seg_hi=[],
+                  tile_base=[], chunk_group=[], lane_of_row=[],
+                  group_bases=[], values_lo=[])
+    for m in mats:
+        assert (m.group_hacks, m.chunk_tiles, m.window_pages) == (gh, ct, wsel)
+        leaves["values"].append(pad2(m.values, tiles_c * 8))
+        leaves["residue"].append(pad2(m.residue, tiles_c * 8))
+        leaves["page_tab"].append(pad2(m.page_tab, tiles_c * 8))
+        if is_dd:
+            leaves["values_lo"].append(pad2(m.values_lo, tiles_c * 8))
+        leaves["seg_lo"].append(pad2(m.seg_lo, ng_c * gh, fill=-1))
+        leaves["seg_hi"].append(pad2(m.seg_hi, ng_c * gh, fill=-1))
+        leaves["tile_base"].append(pad2(m.tile_base, tiles_c))
+        # chunk_group: drop the trailing -1 sentinel, pad with the last
+        # real group id (padding chunks accumulate zeros into the same
+        # block and defer its single flush), re-append the sentinel
+        cg = np.asarray(m.chunk_group)[:-1]
+        want = tiles_c // ct
+        if cg.shape[0] < want:
+            cg = np.concatenate([
+                cg, np.full(want - cg.shape[0], cg[-1], cg.dtype)])
+        leaves["chunk_group"].append(np.concatenate(
+            [cg, np.full(1, -1, cg.dtype)]))
+        leaves["lane_of_row"].append(np.asarray(m.lane_of_row))
+        if scat:
+            gb = (np.zeros(0, np.int32) if m.group_bases is None
+                  else np.asarray(m.group_bases))
+            leaves["group_bases"].append(pad2(gb, lg_c))
+
+    lor_st = np.stack(leaves["lane_of_row"])
+    send_lane = np.zeros((n_shards, n_shards, K), np.int32)
+    for p in range(n_shards):
+        send_lane[p] = lor_st[p, send_idx[p]]
+    halo_lanes = lor_st[:, chunk:]
+
+    st = {k: (jnp.asarray(np.stack(v)) if v else None)
+          for k, v in leaves.items()}
+    return PackedPartition(
+        values=st["values"], residue=st["residue"], page_tab=st["page_tab"],
+        seg_lo=st["seg_lo"], seg_hi=st["seg_hi"], tile_base=st["tile_base"],
+        chunk_group=st["chunk_group"], lane_of_row=jnp.asarray(lor_st),
+        send_lane_idx=jnp.asarray(send_lane),
+        halo_lanes=jnp.asarray(halo_lanes),
+        group_bases=st["group_bases"], values_lo=st["values_lo"],
+        n_rows=n, n_shards=n_shards, chunk=chunk, halo_width=K,
+        nnz=coo.nnz, num_hacks=mats[0].num_hacks, num_groups=ng_c,
+        total_slots=tiles_c * 8, x_pages=xp_c, window_pages=wsel,
+        group_hacks=gh, chunk_tiles=ct,
+    )

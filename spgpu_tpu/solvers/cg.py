@@ -106,6 +106,7 @@ def cg_dd(
     tol: float = 1e-12,
     maxiter: int = 1000,
     m_inv: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> CgResult:
     """Conjugate gradient in double-float (fp64-on-TPU) arithmetic.
 
@@ -116,11 +117,24 @@ def cg_dd(
     (the reference's D-precision solve workload) to ~2^-48.  ``m_inv``
     is an fp32 Jacobi diagonal (preconditioning needs no extra
     precision).
+
+    ``axis_name``: inside ``shard_map`` over a row partition, per-shard
+    dd partials are combined with an ``all_gather`` + error-free tree
+    sum — a plain ``psum`` of hi words would round each hop to fp32 and
+    cap the distributed solve at single precision.
     """
     from spgpu_tpu.ops import dd
 
     def dotd(u, v):
-        return dd.dd_dot(u, v)
+        h, l = dd.dd_dot(u, v)
+        if axis_name is None:
+            return h, l
+        hs = jax.lax.all_gather(h, axis_name)
+        ls = jax.lax.all_gather(l, axis_name)
+        h, l = hs[0], ls[0]
+        for i in range(1, hs.shape[0]):
+            h, l = dd.dd_add_dd(h, l, hs[i], ls[i])
+        return h, l
 
     def axpy_dd(alpha_pair, p, x):
         # x + alpha*p, all dd

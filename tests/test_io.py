@@ -99,3 +99,51 @@ def test_roundtrip(tmp_path):
     np.testing.assert_allclose(back.to_dense(), coo.to_dense())
     p = read_mm_properties(path)
     assert p.nnz == coo.nnz
+
+
+def test_bench_mtx_pipeline(tmp_path):
+    """bench.py --mtx pipeline pieces: write -> read -> auto-layout ->
+    SpMV row (the hellPerf protocol end-to-end on a file)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.io.mm import write_mm
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    n = 600
+    base = random_banded(n, bands=5, wander=0, seed=1,
+                         dtype=np.float32).sum_duplicates()
+    d = np.zeros(n); np.add.at(d, base.rows, np.abs(base.values))
+    rows = np.concatenate([base.rows, base.cols, np.arange(n)])
+    cols = np.concatenate([base.cols, base.rows, np.arange(n)])
+    vals = np.concatenate([base.values * .05, base.values * .05,
+                           d + 1.0]).astype(np.float32)
+    spd = CooMatrix(rows, cols, vals, n, n).sum_duplicates()
+    keep = spd.rows >= spd.cols
+    tri = CooMatrix(spd.rows[keep], spd.cols[keep], spd.values[keep], n, n)
+    path = tmp_path / "t.mtx"
+    write_mm(str(path), tri)
+    txt = path.read_text().split("\n")
+    txt[0] = txt[0].replace("general", "symmetric")
+    path.write_text("\n".join(txt))
+
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin",
+               HOME="/root")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "--mtx", str(path),
+         "--iters", "2", "--cg", "1e-4"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json as _json
+
+    stages = [_json.loads(l) for l in out.stdout.strip().splitlines()
+              if l.startswith("{")]
+    names = [s["stage"] for s in stages]
+    assert names[:3] == ["load", "convert", "spmv"]
+    assert stages[0]["symmetry"] == "symmetric"
+    assert stages[0]["nnz"] == spd.nnz  # unfolded
+    assert stages[3]["stage"] == "solve"
+    assert stages[3]["true_resid"] < 1e-3

@@ -422,3 +422,54 @@ def test_row_segmentation_dd(monkeypatch):
         interpret=True)
     got = ddm.join(np.asarray(z))[np.asarray(a.lane_of_row)]
     np.testing.assert_allclose(got, coo.spmv(x), rtol=1e-12, atol=1e-12)
+
+
+def test_pcell_layout_and_spmv():
+    """Per-cell row-routing layout (convert/pcell.py): dense golden +
+    SpMV vs host COO golden, including alpha/beta epilogue."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.convert import coo_to_whell_percell
+    from spgpu_tpu.ops import whell_spmv
+    from spgpu_tpu.utils.fixtures import random_fem_like
+
+    coo = random_fem_like(2000, 10.0, span=150, far_frac=0.02, seed=5,
+                          dtype=np.float32)
+    a = coo_to_whell_percell(coo, group_hacks=32, chunk_tiles=16)
+    assert np.abs(a.to_dense() - coo.to_dense()).max() == 0.0
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(coo.n_cols).astype(np.float32)
+    y = rng.standard_normal(coo.n_rows).astype(np.float32)
+    z = whell_spmv(a, jnp.asarray(x), interpret=True)
+    ref = coo.spmv(x)
+    assert np.abs(np.asarray(z) - ref).max() / np.abs(ref).max() < 1e-5
+    z2 = whell_spmv(a, jnp.asarray(x), alpha=2.0, beta=-0.5,
+                    y=jnp.asarray(y), interpret=True)
+    ref2 = 2.0 * ref - 0.5 * y
+    assert np.abs(np.asarray(z2) - ref2).max() / np.abs(ref2).max() < 1e-5
+
+
+def test_pcell_duplicates_and_empty():
+    """pcell: duplicates add (cooToEll semantics); empty matrix works."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.convert import coo_to_whell_percell
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.ops import whell_spmv
+
+    rows = np.array([0, 0, 1, 300])
+    cols = np.array([5, 5, 2, 300])
+    vals = np.array([1.5, 2.5, -1.0, 3.0], np.float32)
+    coo = CooMatrix(rows, cols, vals, 400, 400)
+    a = coo_to_whell_percell(coo, group_hacks=32, chunk_tiles=16)
+    x = np.ones(400, np.float32)
+    z = np.asarray(whell_spmv(a, jnp.asarray(x), interpret=True))
+    assert abs(z[0] - 4.0) < 1e-6  # duplicates added
+    assert abs(z[1] + 1.0) < 1e-6
+    assert abs(z[300] - 3.0) < 1e-6
+
+    empty = CooMatrix(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                      np.zeros(0, np.float32), 256, 256)
+    ae = coo_to_whell_percell(empty, group_hacks=32, chunk_tiles=16)
+    ze = np.asarray(whell_spmv(ae, jnp.asarray(x[:256]), interpret=True))
+    assert not ze.any()
