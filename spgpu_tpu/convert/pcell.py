@@ -22,9 +22,15 @@ The price is a per-tile flush the packed kernel pays once per GROUP:
   — no segment scan, no compaction gathers, and NO LANE SPACE: output
   is in original row order (hack = row // 128, out lane = row % 128).
 
-Whether the ~0.76x tile count beats the +2 B/cell and +~12 ops/tile is
-exactly what the chip measurement decides; both outcomes are recorded
-in doc/DESIGN.md.
+Chip outcome (doc/DESIGN.md §2h): **REFUTED for performance** — the
+layout wins on padding exactly as modelled (1.331x measured), but the
+routing needs two extra LANE GATHERS per tile and the chip issues lane
+gathers at ~18-27 ns each beyond the first (against a 12 ns/tile total
+budget), so the kernel lands ~3.6x slower than packed WHELL.  Kept as a
+correct, tested layout because the experiment bought two reusable
+facts: in-kernel prefix scans must be MXU matmuls against a constant
+tril matrix (a `pltpu.roll` chain costs ~34 ns per roll), and per-tile
+lane-gather count is the design budget for gather-class TPU kernels.
 """
 
 from __future__ import annotations
