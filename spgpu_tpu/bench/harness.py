@@ -366,9 +366,18 @@ def run_weak_scaling(rows_per_shard: int = 65536, shards=(1, 2, 4, 8),
 
 
 def run_blas1_suite(n: int, iters: int = 200):
-    """Device-resident BLAS-1 rows: one jitted chained loop per op, the
-    same scalar-fence protocol as the SpMV rows.  Traffic models: dot
-    reads 2 vectors; axpby reads 2 writes 1; nrm2 reads 1."""
+    """Device-resident BLAS-1 rows.
+
+    Reductions (dot/nrm2/asum/amax) chain through a SCALAR carry fused
+    into an operand read (``op(a, b + s*tiny)``): the r2 protocol
+    carried the VECTOR through an elementwise multiply, silently adding
+    a full read+write of the carry per iteration — dot appeared at
+    0.43 of roofline when the true rate is 0.92 (r3 chip: dot 753,
+    nrm2 745, asum 740, amax 750 GB/s — all at the 747 GB/s measured
+    streaming ceiling; XLA's reductions need no custom kernel).
+    Elementwise ops keep the vector carry (it IS the output)."""
+    import time as _time
+
     import jax
     import jax.numpy as jnp
 
@@ -380,24 +389,50 @@ def run_blas1_suite(n: int, iters: int = 200):
     y = jnp.asarray(rng.standard_normal(n), jnp.float32)
     bw = hbm_bandwidth()
     rows = []
+    tiny = jnp.float32(1e-30)
 
-    cases = {
-        "dot": (lambda u, v: u * blas1.dot(u, v) * 1e-9, 2 * n * 4),
-        "axpby": (lambda u, v: blas1.axpby(1.000001, u, 0.999999, v),
-                  3 * n * 4),
-        "nrm2": (lambda u, v: u * (blas1.nrm2(u) * 1e-9), n * 4),
+    def timed_scalar(op, iters):
+        @jax.jit
+        def run(a, b, it):
+            def body(_, s):
+                return op(a, b, s) * jnp.float32(1e-20)
+
+            return jax.lax.fori_loop(0, it, body, jnp.float32(0.0))
+
+        float(run(x, y, iters))
+        t0 = _time.perf_counter()
+        float(run(x, y, iters))
+        t1 = _time.perf_counter()
+        float(run(x, y, 10 * iters))
+        t2 = _time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (9 * iters)
+
+    red_cases = {
+        "dot": (lambda u, v, s: blas1.dot(u, v + s * tiny), 2 * n * 4),
+        "nrm2": (lambda u, v, s: blas1.nrm2(u + s * tiny), n * 4),
+        "asum": (lambda u, v, s: blas1.asum(u + s * tiny), n * 4),
+        "amax": (lambda u, v, s: blas1.amax(u + s * tiny), n * 4),
     }
-    from spgpu_tpu.utils.timing import chained_time
-
-    for name, (op, bytes_per) in cases.items():
-        t, _ = chained_time(lambda c, v, op=op: op(c, v), x, y,
-                            iters_lo=iters, iters_hi=10 * iters)
+    for name, (op, bytes_per) in red_cases.items():
+        t = timed_scalar(op, max(iters // 4, 2))
         rows.append({
             "config": "blas1", "op": name, "n": n,
             "t_avg_s": round(t, 9),
             "eff_bandwidth_gbs": round(bytes_per / t / 1e9, 3),
             "roofline_frac": round((bytes_per / t) / bw, 4) if bw else None,
         })
+
+    from spgpu_tpu.utils.timing import chained_time
+
+    t, _ = chained_time(
+        lambda c, v: blas1.axpby(1.000001, c, 0.999999, v), x, y,
+        iters_lo=iters, iters_hi=10 * iters)
+    rows.append({
+        "config": "blas1", "op": "axpby", "n": n,
+        "t_avg_s": round(t, 9),
+        "eff_bandwidth_gbs": round(3 * n * 4 / t / 1e9, 3),
+        "roofline_frac": round((3 * n * 4 / t) / bw, 4) if bw else None,
+    })
     return rows
 
 

@@ -20,6 +20,15 @@ try:  # populated in M4; keep the package importable while building up
         PartitionedWhell,
         partition_coo_rows_whell,
     )
+    from spgpu_tpu.parallel.partition_packed import (  # noqa: F401
+        PackedPartition,
+        partition_coo_rows_packed,
+    )
+    from spgpu_tpu.parallel.blocks import (  # noqa: F401
+        BlockedPackedWhell,
+        blocks_spmv,
+        coo_to_whell_blocks,
+    )
     from spgpu_tpu.parallel.dist_spmv import dist_spmv, make_dist_matvec  # noqa: F401
     from spgpu_tpu.parallel.dist_solve import dist_bicgstab, dist_cg  # noqa: F401
 
@@ -29,6 +38,11 @@ try:  # populated in M4; keep the package importable while building up
         "partition_coo_rows",
         "PartitionedWhell",
         "partition_coo_rows_whell",
+        "PackedPartition",
+        "partition_coo_rows_packed",
+        "BlockedPackedWhell",
+        "blocks_spmv",
+        "coo_to_whell_blocks",
         "dist_spmv",
         "make_dist_matvec",
         "dist_cg",

@@ -1,0 +1,431 @@
+"""Single-device row blocks for LARGE packed-WHELL matrices.
+
+The column-panel path (convert/whell.py) splits x into VMEM-sized
+panels, but each (hack, panel) group then pays its own max-vs-mean slot
+raggedness: measured pad 3.18x at 4.2M rows and 4.13x at 5M vs 1.74x on
+the 262k flagship (BASELINE.md).  This module replaces panels for large
+matrices by reusing the DISTRIBUTED partition machinery on one device:
+
+* :func:`spgpu_tpu.parallel.partition_packed.build_shard_mats` splits
+  rows into blocks and converts each block over an extended square
+  space whose phantom coordinates are the block's out-of-window
+  ("halo") columns — each block is a self-contained, flagship-grade
+  packed matrix whose x fits VMEM, with NO panel raggedness;
+* per SpMV the "halo exchange" is one tiny flat gather from the stacked
+  state (boundary + hub columns, a few thousand elements) instead of a
+  mesh collective; the per-block kernels pipeline under one jit exactly
+  like the multi-RHS SpMM loop.
+
+The blocks are held UNSTACKED (a tuple of per-block matrices): slicing
+a stacked ``(S, T*8, 128)`` leaf inside jit materialises a copy of the
+whole block slab per product — measured 3x traffic (25.9 GFLOPS at
+4.2M) until the slices moved to conversion time.
+
+FEM-profile matrices suit this split: most couplings are near-diagonal
+(inside the block's own rows) and the far/hub columns are few, so halos
+stay small.  A matrix where every block needs most other blocks'
+columns degenerates (halo_width K explodes); the conversion inherits
+the packed converter's padding guard for that shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from spgpu_tpu.formats.coo import CooMatrix
+from spgpu_tpu.parallel.partition_packed import build_shard_mats
+
+__all__ = ["BlockedPackedWhell", "coo_to_whell_blocks", "blocks_spmv"]
+
+_HACK = 128
+#: lane-gap threshold for clustering a requester's needed owner lanes
+#: into interval windows (XLA gathers cost ~47 ns/ELEMENT on TPU —
+#: measured 0.51 ms for the 4-block 4.2M halo gather — while a
+#: dynamic_slice of the same data is a memcpy)
+_IV_GAP = 2048
+#: clusters smaller than this become hub singles (one small gather)
+_IV_MIN = 32
+#: max intervals per (owner, requester) pair; the gap threshold doubles
+#: until the clustering fits
+_IV_MAX = 6
+
+
+def _build_block_plan(coo: CooMatrix, S: int):
+    """Interval-halo block partition: needed halo columns are clustered
+    (per owner) into LANE-space interval windows exchanged as
+    dynamic slices, plus a small hub-singles gather.  Returns
+    (mats, plan) or None when the structure doesn't cluster (fall back
+    to the flat-gather plan)."""
+    from spgpu_tpu import native as _native
+    from spgpu_tpu.convert.whell import coo_to_whell
+    from spgpu_tpu.core import round_up
+    from spgpu_tpu.formats.whell import WhellMatrix
+
+    n = coo.n_rows
+    chunk = round_up(-(-n // S), _HACK)
+    owner_r = coo.rows // chunk
+    per_shard = []
+    for s in range(S):
+        sel = owner_r == s
+        per_shard.append(
+            (coo.rows[sel] - s * chunk, coo.cols[sel], coo.values[sel]))
+
+    # deterministic pre-conversion lane maps for the REAL rows of each
+    # owner: the greedy hack fill walks rows in order, so the real-row
+    # prefix is independent of the phantom tail; lane_capacity is passed
+    # explicitly to the converter so both computations agree.
+    caps, lane_real = [], []
+    for s in range(S):
+        lrows, _, _ = per_shard[s]
+        m_s = lrows.size
+        cap = max(8.0, 1.25 * m_s / max(chunk, 1))
+        caps.append(cap)
+        deg = np.bincount(lrows, minlength=chunk).astype(np.int64)
+        d = np.clip(np.ceil(deg / cap).astype(np.int64), 1, 128)
+        nat = _native.whell_hack_fill(d)
+        if nat is None:
+            hack_of_row = np.zeros(chunk, np.int64)
+            lane_start = np.zeros(chunk, np.int64)
+            h = acc = 0
+            for r in range(chunk):
+                if acc + d[r] > 128:
+                    h += 1
+                    acc = 0
+                hack_of_row[r] = h
+                lane_start[r] = acc
+                acc += d[r]
+        else:
+            _, hack_of_row, lane_start = nat
+            hack_of_row = hack_of_row[:chunk]
+            lane_start = lane_start[:chunk]
+        # out_pos compaction (mirrors _coo_to_whell_packed): lane label =
+        # hack*128 + rank-of-row-within-hack
+        hfirst = np.r_[True, hack_of_row[1:] != hack_of_row[:-1]]
+        first_idx = np.flatnonzero(hfirst)
+        out_pos = (np.arange(chunk) -
+                   np.repeat(first_idx, np.diff(np.r_[first_idx, chunk])))
+        lane_real.append((hack_of_row * _HACK + out_pos).astype(np.int64))
+
+    # per-requester halo plan: intervals + hub singles
+    plans = []  # per s: (ivs [(p, lane_a, span, coord_off)], hubs [(p, cl)])
+    ext_maps = []  # per s: dict col_global -> phantom coord
+    P_list = []
+    for s in range(S):
+        _, cols_g, _ = per_shard[s]
+        owner_c = cols_g // chunk
+        ext = (np.unique(cols_g[owner_c != s]) if cols_g.size
+               else np.array([], np.int64))
+        ivs, hubs = [], []
+        coord_of = {}
+        off = 0
+        for p in range(S):
+            sel = ext // chunk == p
+            if not sel.any():
+                continue
+            cl = ext[sel] - p * chunk
+            lanes = lane_real[p][cl]
+            o = np.argsort(lanes)
+            lanes_s, cl_s = lanes[o], cl[o]
+            gap = _IV_GAP
+            while True:
+                brk = np.r_[True, np.diff(lanes_s) > gap]
+                n_cl = int(brk.sum())
+                if n_cl <= _IV_MAX:
+                    break
+                gap *= 2
+            cid = np.cumsum(brk) - 1
+            for c in range(n_cl):
+                m = cid == c
+                cnt = int(m.sum())
+                if cnt < _IV_MIN:
+                    for cc in cl_s[m]:
+                        hubs.append((p, int(cc)))
+                    continue
+                a = int(lanes_s[m].min())
+                b = int(lanes_s[m].max()) + 1
+                ivs.append((p, a, b - a, off))
+                for cc, ll in zip(cl_s[m], lanes_s[m]):
+                    coord_of[p * chunk + int(cc)] = off + int(ll) - a
+                off += b - a
+        for hp, hc in hubs:
+            coord_of[hp * chunk + hc] = off
+            off += 1
+        P = off
+        if ext.size and P > 6 * ext.size + 1024:
+            return None  # structure doesn't cluster; use flat gathers
+        plans.append((ivs, hubs))
+        ext_maps.append(coord_of)
+        P_list.append(P)
+
+    # extended conversions (shared geometry, explicit lane_capacity)
+    from spgpu_tpu.parallel.partition_packed import _common_geometry
+
+    E_max = chunk + max(P_list) if P_list else chunk
+    gh, ct = _common_geometry(max(v.size for _, _, v in per_shard),
+                              E_max, np.dtype(coo.values.dtype) == np.float64)
+    mats = []
+    for s in range(S):
+        lrows, cols_g, vals = per_shard[s]
+        owner_c = cols_g // chunk
+        is_int = owner_c == s
+        coord_of = ext_maps[s]
+        cols_e = np.where(is_int, cols_g - s * chunk, 0)
+        if (~is_int).any():
+            extc = cols_g[~is_int]
+            cols_e[~is_int] = chunk + np.fromiter(
+                (coord_of[int(c)] for c in extc), np.int64, extc.size)
+        E = chunk + P_list[s]
+        m = coo_to_whell(CooMatrix(lrows, cols_e, vals, E, E),
+                         packed=True, group_hacks=gh, chunk_tiles=ct,
+                         lane_capacity=caps[s])
+        if not isinstance(m, WhellMatrix):
+            return None
+        # the pre-computed real-row lane map must match the converter's
+        lor = np.asarray(m.lane_of_row)
+        if not np.array_equal(lor[:chunk], lane_real[s][:chunk]):
+            raise AssertionError(
+                "block plan lane map diverged from the converter — "
+                "lane_capacity determinism broken")
+        mats.append(m)
+    return mats, plans, P_list, chunk, lane_real
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BlockedPackedWhell:
+    """Row-blocked packed WHELL for one device.  State vectors are the
+    stacked per-block lane spaces ``(S, Lmax)`` (dd: ``(S, 2, Lmax)``);
+    ``embed``/``extract`` map global vectors in and out."""
+
+    mats: tuple  # of WhellMatrix, one per row block (unstacked!)
+    #: flat-gather plan (fallback): (S, S*K) int32 flat indices into the
+    #: (S*Lmax) state; None when the interval plan is active
+    halo_src: "jax.Array | None"
+    halo_win_pos: jax.Array  # (S, P_max) int32: halo lane - win_l0 (small)
+    #: interval plan: hub-singles flat indices (S, H_max) int32, or None
+    hub_src: "jax.Array | None"
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    chunk: int = dataclasses.field(metadata=dict(static=True))
+    halo_width: int = dataclasses.field(metadata=dict(static=True))
+    n_lane: int = dataclasses.field(metadata=dict(static=True))  # Lmax
+    #: per-block halo lane-window starts/lengths: the phantom halo rows
+    #: occupy a near-contiguous lane range, so the unpack is ONE
+    #: dynamic_update_slice of a small window instead of a scatter into
+    #: the multi-MB state (measured 0.9 -> 0.6 ms of glue at 4.2M)
+    win_l0: tuple = dataclasses.field(metadata=dict(static=True))
+    win_len: tuple = dataclasses.field(metadata=dict(static=True))
+    #: interval plan (static): per block, tuple of (owner, owner_lane_a,
+    #: span, coord_off) windows exchanged as dynamic slices — XLA
+    #: gathers cost ~47 ns/element on TPU, slices are memcpys
+    ivs: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    hub_cnt: tuple = dataclasses.field(default=(),
+                                       metadata=dict(static=True))
+    p_cnt: tuple = dataclasses.field(default=(),
+                                     metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def is_dd(self) -> bool:
+        return self.mats[0].is_dd
+
+    @property
+    def dtype(self):
+        return self.mats[0].values.dtype
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.mats)
+
+    @property
+    def values(self):  # aggregate view for pad/bench accounting
+        import types
+
+        return types.SimpleNamespace(
+            size=sum(int(m.values.size) for m in self.mats))
+
+    @property
+    def storage_bytes(self) -> int:
+        return sum(m.storage_bytes for m in self.mats)
+
+    def embed(self, x) -> np.ndarray:
+        """Global ``(n,)`` vector → ``(S, Lmax)`` stacked lane-space
+        blocks (dd: float64 ``(n,)`` → ``(S, 2, Lmax)``)."""
+        x = np.asarray(x)
+        S, chunk, L = self.n_blocks, self.chunk, self.n_lane
+        if self.is_dd:
+            from spgpu_tpu.ops.dd import split as _split
+
+            out = np.zeros((S, 2, L), np.float32)
+            pair = _split(x)
+            for s, m in enumerate(self.mats):
+                lo = s * chunk
+                nloc = max(0, min((s + 1) * chunk, self.n_rows) - lo)
+                lor = np.asarray(m.lane_of_row)[:nloc]
+                out[s, :, lor] = pair[:, lo:lo + nloc].T
+            return out
+        out = np.zeros((S, L), x.dtype)
+        for s, m in enumerate(self.mats):
+            lo = s * chunk
+            nloc = max(0, min((s + 1) * chunk, self.n_rows) - lo)
+            out[s, np.asarray(m.lane_of_row)[:nloc]] = x[lo:lo + nloc]
+        return out
+
+    def extract(self, z) -> np.ndarray:
+        z = np.asarray(z)
+        S, chunk = self.n_blocks, self.chunk
+        parts = []
+        for s, m in enumerate(self.mats):
+            nloc = max(0, min((s + 1) * chunk, self.n_rows) - s * chunk)
+            lor = np.asarray(m.lane_of_row)[:nloc]
+            if self.is_dd:
+                from spgpu_tpu.ops.dd import join as _join
+
+                parts.append(_join(z[s][:, lor]))
+            else:
+                parts.append(z[s][lor])
+        return np.concatenate(parts)
+
+
+def coo_to_whell_blocks(coo: CooMatrix, n_blocks=None,
+                        interval_halos: bool = True) -> BlockedPackedWhell:
+    """Build the row-blocked packed layout.  ``n_blocks`` defaults to
+    the smallest count whose per-block x + accumulator fits VMEM.  The
+    interval-halo plan is preferred (boundary halos move as dynamic
+    slices); matrices whose halo columns don't cluster fall back to one
+    batched flat gather."""
+    import jax.numpy as jnp
+
+    if n_blocks is None:
+        # per-block lane space ~ 1.4x chunk rows; budget ~7 MiB of x
+        # next to the gh=512 accumulator scratch (DESIGN §2g)
+        per_block_rows = int(7 * 2 ** 20 / 4 / 1.4)
+        n_blocks = max(1, -(-coo.n_rows // per_block_rows))
+
+    plan = _build_block_plan(coo, n_blocks) if interval_halos and \
+        n_blocks > 1 else None
+    if plan is not None:
+        mats, plans, P_list, chunk, lane_real = plan
+        S = len(mats)
+        Lmax = max(m.n_rows for m in mats)
+        Pmax = max(max(P_list), 1)
+        Hmax = max(max((len(h) for _, h in plans), default=0), 1)
+        win_pos = np.zeros((S, Pmax), np.int32)
+        hub_src = np.zeros((S, Hmax), np.int32)
+        l0s, wls, ivs_t, hub_cnt = [], [], [], []
+        for s in range(S):
+            lor = np.asarray(mats[s].lane_of_row)
+            P = P_list[s]
+            pl_ = lor[chunk:chunk + P]
+            if P:
+                l0 = int(pl_.min())
+                wl = int(pl_.max()) + 1 - l0
+                win_pos[s, :P] = pl_ - l0
+            else:
+                l0, wl = 0, 1
+            l0s.append(l0)
+            wls.append(wl)
+            ivs_s, hubs_s = plans[s]
+            ivs_t.append(tuple(ivs_s))
+            hub_cnt.append(len(hubs_s))
+            for j, (hp, hc) in enumerate(hubs_s):
+                hub_src[s, j] = hp * Lmax + lane_real[hp][hc]
+        return BlockedPackedWhell(
+            mats=tuple(mats), halo_src=None,
+            halo_win_pos=jnp.asarray(win_pos),
+            hub_src=jnp.asarray(hub_src),
+            n_rows=coo.n_rows, n_cols=coo.n_cols, nnz=coo.nnz,
+            chunk=chunk, halo_width=0, n_lane=Lmax,
+            win_l0=tuple(l0s), win_len=tuple(wls),
+            ivs=tuple(ivs_t), hub_cnt=tuple(hub_cnt),
+            p_cnt=tuple(P_list))
+
+    mats, send_idx, chunk, K = build_shard_mats(coo, n_blocks)
+    S = len(mats)
+    Lmax = max(m.n_rows for m in mats)
+    halo_src = np.empty((S, S * K), np.int32)
+    halo_lanes = np.empty((S, S * K), np.int32)
+    for s in range(S):
+        halo_lanes[s] = np.asarray(mats[s].lane_of_row)[chunk:]
+        for p in range(S):
+            lanes_p = np.asarray(mats[p].lane_of_row)[send_idx[p, s]]
+            halo_src[s, p * K:(p + 1) * K] = p * Lmax + lanes_p
+    l0 = halo_lanes.min(axis=1)
+    wlen = halo_lanes.max(axis=1) + 1 - l0
+    return BlockedPackedWhell(
+        mats=tuple(mats), halo_src=jnp.asarray(halo_src),
+        halo_win_pos=jnp.asarray(halo_lanes - l0[:, None]),
+        hub_src=None,
+        n_rows=coo.n_rows, n_cols=coo.n_cols, nnz=coo.nnz,
+        chunk=chunk, halo_width=K, n_lane=Lmax,
+        win_l0=tuple(int(v) for v in l0),
+        win_len=tuple(int(v) for v in wlen))
+
+
+def blocks_spmv(a: BlockedPackedWhell, x_st, interpret=None):
+    """``Z = A @ X`` over the stacked lane-space state ``(S, Lmax)``
+    (dd: ``(S, 2, Lmax)``); returns the same shape.  One packed Pallas
+    kernel per block under one jit; the halo values come from a flat
+    gather of the stacked state."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.ops import whell_spmv
+
+    S, L = a.n_blocks, a.n_lane
+    interval = a.halo_src is None
+    if a.is_dd:
+        flat = jnp.swapaxes(x_st, 0, 1).reshape(2, -1)
+    else:
+        flat = x_st.reshape(-1)
+    if not interval:
+        halos = (flat[:, a.halo_src] if a.is_dd else flat[a.halo_src])
+    outs = []
+    for s, mat in enumerate(a.mats):
+        wl = a.win_len[s]
+        if interval:
+            P = a.p_cnt[s]
+            if P == 0:
+                xf = x_st[s]
+            else:
+                parts = []
+                for (p, a_lane, span, _off) in a.ivs[s]:
+                    if a.is_dd:
+                        parts.append(jax.lax.dynamic_slice(
+                            x_st[p], (0, a_lane), (2, span)))
+                    else:
+                        parts.append(jax.lax.dynamic_slice(
+                            x_st[p], (a_lane,), (span,)))
+                if a.hub_cnt[s]:
+                    parts.append(flat[..., a.hub_src[s, : a.hub_cnt[s]]])
+                hv = jnp.concatenate(parts, axis=-1)
+                pos = a.halo_win_pos[s, :P]
+                if a.is_dd:
+                    win = jnp.zeros((2, wl), x_st.dtype).at[:, pos].set(hv)
+                    xf = jax.lax.dynamic_update_slice(
+                        x_st[s], win, (0, a.win_l0[s]))
+                else:
+                    win = jnp.zeros((wl,), x_st.dtype).at[pos].set(hv)
+                    xf = jax.lax.dynamic_update_slice(
+                        x_st[s], win, (a.win_l0[s],))
+        elif a.is_dd:
+            win = jnp.zeros((2, wl), x_st.dtype).at[
+                :, a.halo_win_pos[s]].set(halos[:, s])
+            xf = jax.lax.dynamic_update_slice(
+                x_st[s], win, (0, a.win_l0[s]))
+        else:
+            win = jnp.zeros((wl,), x_st.dtype).at[
+                a.halo_win_pos[s]].set(halos[s])
+            xf = jax.lax.dynamic_update_slice(x_st[s], win, (a.win_l0[s],))
+        z = whell_spmv(mat, xf[..., : mat.n_cols], interpret=interpret)
+        pad = L - z.shape[-1]
+        if pad:
+            z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, pad)])
+        outs.append(z)
+    return jnp.stack(outs)

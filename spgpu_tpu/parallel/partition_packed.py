@@ -42,7 +42,8 @@ from spgpu_tpu.core import round_up
 from spgpu_tpu.formats import CooMatrix, WhellMatrix
 from spgpu_tpu.convert.whell import coo_to_whell
 
-__all__ = ["PackedPartition", "partition_coo_rows_packed"]
+__all__ = ["PackedPartition", "partition_coo_rows_packed",
+           "build_shard_mats"]
 
 _HACK = 128
 
@@ -184,15 +185,15 @@ def _common_geometry(max_nnz: int, max_rows: int, is_dd: bool):
     return gh, ct
 
 
-def partition_coo_rows_packed(
-    coo: CooMatrix,
-    n_shards: int,
-) -> PackedPartition:
-    """Build a :class:`PackedPartition` from a square host COO."""
+def build_shard_mats(coo: CooMatrix, n_shards: int):
+    """Shared partition front-end: split rows into hack-aligned chunks,
+    build the halo plan, and convert each shard's block over the
+    extended (chunk + S*K phantom-halo) square space with a COMMON
+    geometry.  Returns ``(mats, send_idx, chunk, K)`` — used stacked
+    (``partition_coo_rows_packed`` → shard_map) or unstacked
+    (``parallel.blocks`` → single-device row blocks)."""
     if coo.n_rows != coo.n_cols:
         raise ValueError("halo-partitioned SpMV requires a square matrix")
-    import jax.numpy as jnp
-
     n = coo.n_rows
     chunk = round_up(-(-n // n_shards), _HACK)
     owner_r = coo.rows // chunk
@@ -260,6 +261,20 @@ def partition_coo_rows_packed(
                 f"({type(m).__name__}) — use more shards or the classic "
                 "partition for this size")
         mats.append(m)
+    return mats, send_idx, chunk, K
+
+
+def partition_coo_rows_packed(
+    coo: CooMatrix,
+    n_shards: int,
+) -> PackedPartition:
+    """Build a :class:`PackedPartition` from a square host COO."""
+    import jax.numpy as jnp
+
+    mats, send_idx, chunk, K = build_shard_mats(coo, n_shards)
+    n, n_shards = coo.n_rows, len(mats)
+    gh, ct = mats[0].group_hacks, mats[0].chunk_tiles
+    is_dd = mats[0].is_dd
 
     # pad every shard to the common stacking shape
     ng_c = max(m.num_groups for m in mats)

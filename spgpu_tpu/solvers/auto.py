@@ -17,6 +17,10 @@ from spgpu_tpu.formats.coo import CooMatrix
 
 __all__ = ["solve"]
 
+#: per-kernel x budget driving the whell -> row-blocks switch in solve()
+#: (parallel/blocks.py; lane space is ~1.4x rows)
+_BLOCKS_X_BYTES = 7 * 2 ** 20
+
 
 def solve(
     coo: CooMatrix,
@@ -78,18 +82,39 @@ def solve(
 
     work = coo
     lane_embed = None  # original-index -> lane-space map (packed WHELL)
+    blocks = None  # row-blocked layout for x beyond the VMEM budget
     is_dd = False
     if fmt == "whell":
-        # packed-lane layout: rows/columns live in lane space (phantom
-        # coordinates stay zero through the whole Krylov iteration, so
-        # the solve runs in lane space end-to-end and only b/x cross).
-        # float64 systems run the double-float kernel + cg_dd (D-precision
-        # parity with the reference's hell_dspmv/native-fp64 CG callers).
-        a = coo_to_whell(work, packed=True)
-        mv = lambda v: whell_spmv(a, v)
-        lane_embed = np.asarray(a.lane_of_row)
-        n_lane = a.n_rows
-        is_dd = a.is_dd
+        # x beyond the per-kernel VMEM budget: row blocks (each a
+        # flagship-grade packed matrix; halos move as interval slices —
+        # parallel/blocks.py supersedes column panels for large solves)
+        itemsize = 8 if coo.values.dtype == np.float64 else 4
+        if coo.n_cols * itemsize * 1.4 > _BLOCKS_X_BYTES:
+            from spgpu_tpu.parallel.blocks import (
+                blocks_spmv, coo_to_whell_blocks)
+
+            a = coo_to_whell_blocks(work)
+            blocks = a
+            S, L = a.n_blocks, a.n_lane
+            is_dd = a.is_dd
+            if is_dd:
+                mv = lambda v: jnp.swapaxes(
+                    blocks_spmv(a, jnp.swapaxes(
+                        v.reshape(2, S, L), 0, 1)), 0, 1).reshape(2, -1)
+            else:
+                mv = lambda v: blocks_spmv(a, v.reshape(S, L)).reshape(-1)
+        else:
+            # packed-lane layout: rows/columns live in lane space
+            # (phantom coordinates stay zero through the whole Krylov
+            # iteration, so the solve runs in lane space end-to-end and
+            # only b/x cross).  float64 systems run the double-float
+            # kernel + cg_dd (D-precision parity with the reference's
+            # hell_dspmv/native-fp64 CG callers).
+            a = coo_to_whell(work, packed=True)
+            mv = lambda v: whell_spmv(a, v)
+            lane_embed = np.asarray(a.lane_of_row)
+            n_lane = a.n_rows
+            is_dd = a.is_dd
     elif fmt == "sdia":
         a = coo_to_sdia(work)
         mv = lambda v: sdia_spmv(a, v)
@@ -106,6 +131,42 @@ def solve(
 
     b = np.asarray(b)
     m_inv = jacobi_preconditioner(work) if jacobi else None
+    if blocks is not None:
+        S, L = blocks.n_blocks, blocks.n_lane
+        m_flat = None
+        if m_inv is not None:
+            m_st = np.ones((S, L), np.float32)
+            for s, mat in enumerate(blocks.mats):
+                lo = s * blocks.chunk
+                nloc = max(0, min((s + 1) * blocks.chunk,
+                                  blocks.n_rows) - lo)
+                lor = np.asarray(mat.lane_of_row)[:nloc]
+                m_st[s, lor] = np.asarray(m_inv,
+                                          np.float64)[lo:lo + nloc]
+            m_flat = jnp.asarray(m_st.reshape(-1))
+        if is_dd:
+            from spgpu_tpu.ops import dd as _dd
+            from spgpu_tpu.solvers.cg import bicgstab_dd, cg_dd
+
+            bp = jnp.swapaxes(jnp.asarray(blocks.embed(b)),
+                              0, 1).reshape(2, -1)
+            x0p = None
+            if x0 is not None:
+                x0p = jnp.swapaxes(jnp.asarray(blocks.embed(
+                    np.asarray(x0))), 0, 1).reshape(2, -1)
+            dd_solver = cg_dd if symmetric else bicgstab_dd
+            res = dd_solver(mv, bp, x0=x0p, tol=tol, maxiter=maxiter,
+                            m_inv=m_flat)
+            xs = np.swapaxes(np.asarray(res.x).reshape(2, S, L), 0, 1)
+            return res._replace(x=blocks.extract(xs))
+        bp = jnp.asarray(blocks.embed(b)).reshape(-1)
+        x0p = (None if x0 is None
+               else jnp.asarray(blocks.embed(np.asarray(x0))).reshape(-1))
+        solver = cg if symmetric else bicgstab
+        res = solver(mv, bp, x0=x0p, tol=tol, maxiter=maxiter,
+                     m_inv=m_flat)
+        xs = np.asarray(res.x).reshape(S, L)
+        return res._replace(x=jnp.asarray(blocks.extract(xs)))
     if lane_embed is not None:
         bl = np.zeros(n_lane, b.dtype)
         bl[lane_embed] = b

@@ -223,3 +223,51 @@ def test_packed_partition_uneven_and_2shards():
     xs = np.asarray(res.x)
     assert np.linalg.norm(b - coo.sum_duplicates().spmv(xs)) / \
         np.linalg.norm(b) < 1e-3
+
+
+def test_blocked_packed_whell_single_device():
+    """Single-device row blocks for large packed matrices
+    (parallel/blocks.py): each block a self-contained packed matrix over
+    its phantom-halo-extended space; halo values come from a flat gather
+    of the stacked state.  fp32 and dd, vs host golden; CG in the
+    stacked lane space via a matvec closure."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.parallel.blocks import blocks_spmv, coo_to_whell_blocks
+    from spgpu_tpu.solvers.cg import cg
+    from spgpu_tpu.utils.fixtures import laplacian_2d, random_fem_like
+
+    coo = random_fem_like(3000, 10.0, span=150, far_frac=0.02, seed=5,
+                          dtype=np.float32)
+    a = coo_to_whell_blocks(coo, n_blocks=3)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(3000).astype(np.float32)
+    z = blocks_spmv(a, jnp.asarray(a.embed(x)), interpret=True)
+    ref = coo.spmv(x)
+    err = np.abs(a.extract(np.asarray(z)) - ref).max() / np.abs(ref).max()
+    assert err < 1e-5
+
+    # dd blocks
+    lap = laplacian_2d(40, 60, dtype=np.float64)
+    a64 = coo_to_whell_blocks(lap, n_blocks=2)
+    assert a64.is_dd
+    x64 = rng.standard_normal(lap.n_rows)
+    z64 = blocks_spmv(a64, jnp.asarray(a64.embed(x64)), interpret=True)
+    ref64 = lap.spmv(x64)
+    e64 = np.abs(a64.extract(np.asarray(z64)) - ref64).max() / \
+        np.abs(ref64).max()
+    assert e64 < 1e-12
+
+    # CG over the FLATTENED stacked state (SPD Laplacian, fp32 blocks):
+    # cg's reductions run over the last axis, so the (S, L) state
+    # flattens to (S*L,) around the matvec
+    lap32 = laplacian_2d(40, 60, dtype=np.float32)
+    ab = coo_to_whell_blocks(lap32, n_blocks=2)
+    S, L = ab.n_blocks, ab.n_lane
+    b = rng.standard_normal(lap32.n_rows).astype(np.float32)
+    bs = jnp.asarray(ab.embed(b)).reshape(-1)
+    mv = lambda v: blocks_spmv(ab, v.reshape(S, L),
+                               interpret=True).reshape(-1)
+    res = cg(mv, bs, tol=1e-6, maxiter=4000)
+    xs = ab.extract(np.asarray(res.x).reshape(S, L))
+    assert np.linalg.norm(b - lap32.spmv(xs)) / np.linalg.norm(b) < 1e-4

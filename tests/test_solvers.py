@@ -129,3 +129,27 @@ def test_whell_forced_solve_roundtrips_permutation():
     res = solve(coo, b, fmt="whell", tol=1e-5, maxiter=3000)
     assert bool(res.converged)
     np.testing.assert_allclose(d @ np.asarray(res.x), b, atol=1e-2)
+
+
+def test_solve_routes_large_whell_to_blocks(monkeypatch):
+    """solve() on a whell system whose x exceeds the VMEM budget runs
+    the row-blocked packed layout (parallel/blocks.py) end-to-end."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.solvers import auto as _auto
+    from spgpu_tpu.utils.fixtures import laplacian_2d
+
+    monkeypatch.setattr(_auto, "_BLOCKS_X_BYTES", 4096)  # force blocks
+    lap = laplacian_2d(40, 60, np.float32)
+    b = np.random.default_rng(3).standard_normal(lap.n_rows).astype(
+        np.float32)
+    res = _auto.solve(lap, b, tol=1e-5, maxiter=6000, fmt="whell")
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - lap.spmv(x)) / np.linalg.norm(b) < 1e-3
+
+    # dd (float64) through the blocked path
+    lap64 = laplacian_2d(31, 23, np.float64)
+    b64 = np.random.default_rng(4).standard_normal(lap64.n_rows)
+    res64 = _auto.solve(lap64, b64, tol=1e-11, fmt="whell")
+    x64 = np.asarray(res64.x, np.float64)
+    assert np.linalg.norm(b64 - lap64.spmv(x64)) / np.linalg.norm(b64) < 1e-10
