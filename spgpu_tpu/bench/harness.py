@@ -266,6 +266,27 @@ def run_suite(size: str = "small", out=print):
             rng.standard_normal((2, a.n_cols)), jnp.float32),
     ))
 
+    # -- complex64 banded — dia_cspmv/hdia_cspmv parity row: the C plane
+    # pair on the WHDIA fast path (r3; formats/cplanes.py)
+    band_c_base = random_banded((1 << 19) if big else 1200, bands=11,
+                                wander=7, seed=2,
+                                dtype=np.float64).sum_duplicates()
+    rng_bc = np.random.default_rng(8)
+    band_c = CooMatrix(
+        band_c_base.rows, band_c_base.cols,
+        (band_c_base.values
+         + 1j * rng_bc.standard_normal(band_c_base.nnz)).astype(np.complex64),
+        band_c_base.n_rows, band_c_base.n_cols)
+    emit(run_config(
+        "banded_c64", "whdia_complex_pallas", band_c, coo_to_whdia,
+        lambda a, x: whdia_spmv(a, x),
+        # 4 plane products, each streaming a 6 B/cell slab + vectors
+        lambda a, coo: 4 * (a.values.size * 6 + coo.n_rows * 8),
+        iters=(50 if big else 3), flops_factor=4.0,
+        make_x=lambda a, coo, rng: jnp.asarray(
+            rng.standard_normal((2, a.n_cols)), jnp.float32),
+    ))
+
     # -- 8-RHS SpMM: Pallas loop-of-SpMV on WHELL ------------------------
     from spgpu_tpu.ops import whell_spmm
 

@@ -145,7 +145,6 @@ def solve(
                                           np.float64)[lo:lo + nloc]
             m_flat = jnp.asarray(m_st.reshape(-1))
         if is_dd:
-            from spgpu_tpu.ops import dd as _dd
             from spgpu_tpu.solvers.cg import bicgstab_dd, cg_dd
 
             bp = jnp.swapaxes(jnp.asarray(blocks.embed(b)),
