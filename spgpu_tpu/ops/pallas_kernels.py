@@ -118,7 +118,7 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, chunk_group,
 
 
 def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
-                         group_hacks, scattered=False):
+                         group_hacks, scattered=False, halo_page=None):
     """Packed-lane WHELL SpMV.
 
     Same streaming skeleton as :func:`_whell_kernel`, plus:
@@ -143,7 +143,17 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
       plane RMW serialises successive tiles and costs ~1 cyc/tile of
       the ~12-cycle budget; two planes recover it (94 -> 102 GFLOPS).
       Four planes lose (reset/reduce overhead grows with gh).
+
+    ``halo_page`` (static): the row-blocked composition
+    (parallel/blocks.py) passes the block's halo values as a small extra
+    VMEM operand, spliced into the x scratch right after the staging DMA
+    — the block's x state array is then used UNMODIFIED (no host-side
+    update-slice copy of the multi-MB state per product).
     """
+    win_ref = None
+    if halo_page is not None:
+        refs = list(refs)
+        win_ref = refs.pop(9 if scattered else 8)  # after the x operand
     if scattered:
         (tmeta_ref, cgroup_ref, gbase_ref, vals_ref, res_ref, pt_ref,
          seglo_ref, seghi_ref, x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
@@ -157,6 +167,8 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
         dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
         dma.start()
         dma.wait()
+        if win_ref is not None:
+            x_vmem[pl.ds(halo_page, win_ref.shape[0]), :] = win_ref[:]
 
     first = jnp.logical_or(
         c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
@@ -225,25 +237,34 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
-    "group_hacks", "interpret"))
+    "group_hacks", "halo_page", "interpret"))
 def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
-                       tile_base, chunk_group, x2d, group_bases=None, *,
+                       tile_base, chunk_group, x2d, group_bases=None,
+                       halo_win=None, *,
                        num_tiles, num_groups, x_pages, window_pages,
-                       chunk_tiles, group_hacks, interpret=False):
+                       chunk_tiles, group_hacks, halo_page=None,
+                       interpret=False):
     ct, gh = chunk_tiles, group_hacks
     scattered = group_bases is not None
     num_chunks = num_tiles // ct
+    in_specs = [
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+        pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
+        pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
+    ]
+    x_ops = (x2d,)
+    if halo_page is not None:
+        # small halo window (parallel/blocks.py), spliced into the x
+        # scratch after the staging DMA
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        x_ops = (x2d, halo_win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3 if scattered else 2,
         grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
-            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
         scratch_shapes=[
             pltpu.VMEM((2 * gh, 8, 128), x2d.dtype),  # dual accumulators
@@ -256,7 +277,7 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
     return pl.pallas_call(
         functools.partial(_whell_packed_kernel, window_pages=window_pages,
                           chunk_tiles=ct, group_hacks=gh,
-                          scattered=scattered),
+                          scattered=scattered, halo_page=halo_page),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), x2d.dtype),
         interpret=interpret,
@@ -265,7 +286,7 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
             bytes_accessed=num_tiles * 8 * 128 * 6 + x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(*ops, values, residue, page_tab, seg_lo, seg_hi, x2d)
+    )(*ops, values, residue, page_tab, seg_lo, seg_hi, *x_ops)
 
 
 def _whell_packed_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,

@@ -38,7 +38,9 @@ import numpy as np
 from spgpu_tpu.formats.coo import CooMatrix
 from spgpu_tpu.parallel.partition_packed import build_shard_mats
 
-__all__ = ["BlockedPackedWhell", "coo_to_whell_blocks", "blocks_spmv"]
+__all__ = ["BlockedPackedWhell", "coo_to_whell_blocks",
+           "blocks_spmv", "blocks_spmv_tuple", "blocks_cg",
+           "embed_tuple", "extract_tuple"]
 
 _HACK = 128
 #: lane-gap threshold for clustering a requester's needed owner lanes
@@ -109,6 +111,40 @@ def _build_block_plan(coo: CooMatrix, S: int):
                    np.repeat(first_idx, np.diff(np.r_[first_idx, chunk])))
         lane_real.append((hack_of_row * _HACK + out_pos).astype(np.int64))
 
+    # hack-align the phantom (halo) region: spacer phantom rows fill the
+    # last real hack to capacity, so halo coord i sits at lane
+    # halo_lane0 + i EXACTLY — gapless and page-aligned.  The kernel can
+    # then splice the halo window into its x scratch with one copy
+    # (no state-sized scatter/DUS on the host side).
+    spacers, halo_lane0 = [], []
+    for s in range(S):
+        lr = lane_real[s]
+        last = lr[chunk - 1]
+        h_last = int(last) // _HACK
+        # capacity used in the last real hack = lane_start[last row] +
+        # d[last row]; recompute from the fill we already ran
+        lrows, _, _ = per_shard[s]
+        deg = np.bincount(lrows, minlength=chunk).astype(np.int64)
+        d = np.clip(np.ceil(deg / caps[s]).astype(np.int64), 1, 128)
+        # spacer rows (d=1) until the shared hack is exhausted: the fill
+        # opens a new hack when acc + 1 > 128
+        # number of phantom rows the shared hack still accepts:
+        # re-derive acc after the last real row
+        nat = _native.whell_hack_fill(d)
+        if nat is None:
+            acc = 0
+            h = 0
+            for r in range(chunk):
+                if acc + d[r] > 128:
+                    h += 1
+                    acc = 0
+                acc += d[r]
+        else:
+            _, hor, ls_ = nat
+            acc = int(ls_[chunk - 1] + d[chunk - 1])
+        spacers.append(128 - acc)
+        halo_lane0.append((h_last + 1) * _HACK)
+
     # per-requester halo plan: intervals + hub singles
     plans = []  # per s: (ivs [(p, lane_a, span, coord_off)], hubs [(p, cl)])
     ext_maps = []  # per s: dict col_global -> phantom coord
@@ -172,25 +208,31 @@ def _build_block_plan(coo: CooMatrix, S: int):
         owner_c = cols_g // chunk
         is_int = owner_c == s
         coord_of = ext_maps[s]
+        sp = spacers[s]
         cols_e = np.where(is_int, cols_g - s * chunk, 0)
         if (~is_int).any():
             extc = cols_g[~is_int]
-            cols_e[~is_int] = chunk + np.fromiter(
+            cols_e[~is_int] = chunk + sp + np.fromiter(
                 (coord_of[int(c)] for c in extc), np.int64, extc.size)
-        E = chunk + P_list[s]
+        E = chunk + sp + P_list[s]
         m = coo_to_whell(CooMatrix(lrows, cols_e, vals, E, E),
                          packed=True, group_hacks=gh, chunk_tiles=ct,
                          lane_capacity=caps[s])
         if not isinstance(m, WhellMatrix):
             return None
-        # the pre-computed real-row lane map must match the converter's
+        # the pre-computed real-row lane map must match the converter's,
+        # and the halo region must be gapless and page-aligned
         lor = np.asarray(m.lane_of_row)
         if not np.array_equal(lor[:chunk], lane_real[s][:chunk]):
             raise AssertionError(
                 "block plan lane map diverged from the converter — "
                 "lane_capacity determinism broken")
+        hl = lor[chunk + sp:]
+        if P_list[s] and not (hl[0] == halo_lane0[s] and hl[0] % 128 == 0
+                              and np.all(np.diff(hl) == 1)):
+            raise AssertionError("halo lane region not gapless/aligned")
         mats.append(m)
-    return mats, plans, P_list, chunk, lane_real
+    return mats, plans, P_list, chunk, lane_real, halo_lane0, spacers
 
 
 @jax.tree_util.register_dataclass
@@ -227,6 +269,16 @@ class BlockedPackedWhell:
                                        metadata=dict(static=True))
     p_cnt: tuple = dataclasses.field(default=(),
                                      metadata=dict(static=True))
+    #: interval plan, tuple-state fast path: hub-singles OWNER LANES
+    #: (S requester, S owner, Hmax) + static per-(s, p) counts; the
+    #: x-scratch page where each block's halo region starts (the halo
+    #: lanes are gapless and page-aligned by construction — spacer
+    #: phantom rows fill the shared hack)
+    hub_lanes: "jax.Array | None" = None
+    hub_pc: tuple = dataclasses.field(default=(),
+                                      metadata=dict(static=True))
+    halo_page: tuple = dataclasses.field(default=(),
+                                         metadata=dict(static=True))
 
     @property
     def shape(self):
@@ -312,31 +364,45 @@ def coo_to_whell_blocks(coo: CooMatrix, n_blocks=None,
     plan = _build_block_plan(coo, n_blocks) if interval_halos and \
         n_blocks > 1 else None
     if plan is not None:
-        mats, plans, P_list, chunk, lane_real = plan
+        import dataclasses as _dc
+
+        mats, plans, P_list, chunk, lane_real, halo_lane0, spacers = plan
+        # force x_pages == the kernel OUTPUT length / 128 (num_groups *
+        # group_hacks) so the tuple fast path reshapes the state array
+        # into the kernel's x operand AND takes the kernel output as the
+        # next state with ZERO copies
+        mats = [_dc.replace(m, x_pages=m.num_groups * m.group_hacks)
+                for m in mats]
         S = len(mats)
         Lmax = max(m.n_rows for m in mats)
         Pmax = max(max(P_list), 1)
         Hmax = max(max((len(h) for _, h in plans), default=0), 1)
         win_pos = np.zeros((S, Pmax), np.int32)
         hub_src = np.zeros((S, Hmax), np.int32)
-        l0s, wls, ivs_t, hub_cnt = [], [], [], []
+        hub_lanes = np.zeros((S, S, Hmax), np.int32)
+        l0s, wls, ivs_t, hub_cnt, hub_pc = [], [], [], [], []
         for s in range(S):
             lor = np.asarray(mats[s].lane_of_row)
             P = P_list[s]
-            pl_ = lor[chunk:chunk + P]
+            pl_ = lor[chunk + spacers[s]:chunk + spacers[s] + P]
             if P:
                 l0 = int(pl_.min())
                 wl = int(pl_.max()) + 1 - l0
                 win_pos[s, :P] = pl_ - l0
+                assert l0 == halo_lane0[s] and wl == P  # gapless/aligned
             else:
-                l0, wl = 0, 1
+                l0, wl = halo_lane0[s], 1
             l0s.append(l0)
             wls.append(wl)
             ivs_s, hubs_s = plans[s]
             ivs_t.append(tuple(ivs_s))
             hub_cnt.append(len(hubs_s))
+            pc = [0] * S
             for j, (hp, hc) in enumerate(hubs_s):
                 hub_src[s, j] = hp * Lmax + lane_real[hp][hc]
+                hub_lanes[s, hp, pc[hp]] = lane_real[hp][hc]
+                pc[hp] += 1
+            hub_pc.append(tuple(pc))
         return BlockedPackedWhell(
             mats=tuple(mats), halo_src=None,
             halo_win_pos=jnp.asarray(win_pos),
@@ -345,7 +411,9 @@ def coo_to_whell_blocks(coo: CooMatrix, n_blocks=None,
             chunk=chunk, halo_width=0, n_lane=Lmax,
             win_l0=tuple(l0s), win_len=tuple(wls),
             ivs=tuple(ivs_t), hub_cnt=tuple(hub_cnt),
-            p_cnt=tuple(P_list))
+            p_cnt=tuple(P_list),
+            hub_lanes=jnp.asarray(hub_lanes), hub_pc=tuple(hub_pc),
+            halo_page=tuple(h // _HACK for h in halo_lane0))
 
     mats, send_idx, chunk, K = build_shard_mats(coo, n_blocks)
     S = len(mats)
@@ -429,3 +497,149 @@ def blocks_spmv(a: BlockedPackedWhell, x_st, interpret=None):
             z = jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, pad)])
         outs.append(z)
     return jnp.stack(outs)
+
+
+def blocks_spmv_tuple(a: BlockedPackedWhell, xs: tuple, interpret=None):
+    """Zero-copy ``Z = A @ X`` over a TUPLE of per-block lane-space
+    vectors (fp32 interval plans only).  Each block's state array is
+    reshaped (free) into the kernel's x operand; the halo values are
+    assembled from dynamic slices of neighbour states plus a small hub
+    gather and SPLICED INTO THE KERNEL'S x SCRATCH after the staging DMA
+    (``halo_page``), so no multi-MB buffer is copied per product — the
+    stacked-state path pays ~0.3-0.45 ms of slice/update/stack traffic
+    per product at the 5M class."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.ops.pallas_kernels import _whell_packed_call
+
+    if a.halo_src is not None or a.is_dd:
+        raise ValueError("blocks_spmv_tuple requires an fp32 "
+                         "interval-halo plan (coo_to_whell_blocks default)")
+    if interpret is None:
+        import jax as _jax
+
+        interpret = _jax.default_backend() != "tpu"
+    outs = []
+    for s, mat in enumerate(a.mats):
+        P = a.p_cnt[s]
+        halo_win = None
+        halo_page = None
+        if P:
+            parts = [jax.lax.dynamic_slice(xs[p], (a_lane,), (span,))
+                     for (p, a_lane, span, _off) in a.ivs[s]]
+            for p in range(a.n_blocks):
+                c = a.hub_pc[s][p]
+                if c:
+                    parts.append(xs[p][a.hub_lanes[s, p, :c]])
+            hv = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+            wp = -(-P // _HACK)
+            padw = wp * _HACK - P
+            if padw:
+                hv = jnp.pad(hv, (0, padw))
+            halo_win = hv.reshape(wp, _HACK)
+            halo_page = a.halo_page[s]
+        x2d = xs[s].reshape(-1, _HACK)  # x_pages == n_lane/128: free
+        z = _whell_packed_call(
+            mat.values, mat.residue, mat.page_tab, mat.seg_lo, mat.seg_hi,
+            mat.tile_base, mat.chunk_group, x2d, mat.group_bases, halo_win,
+            num_tiles=mat.num_tiles, num_groups=mat.num_groups,
+            x_pages=mat.x_pages, window_pages=mat.window_pages,
+            chunk_tiles=mat.chunk_tiles, group_hacks=mat.group_hacks,
+            halo_page=halo_page, interpret=interpret,
+        ).reshape(-1)
+        outs.append(z)
+    return tuple(outs)
+
+
+def embed_tuple(a: BlockedPackedWhell, x):
+    """Global ``(n,)`` vector -> tuple of per-block state vectors
+    (length = the block kernel's output width; zero-copy protocol)."""
+    x = np.asarray(x)
+    out = []
+    for s, m in enumerate(a.mats):
+        lo = s * a.chunk
+        nloc = max(0, min((s + 1) * a.chunk, a.n_rows) - lo)
+        v = np.zeros(m.x_pages * _HACK, x.dtype)
+        v[np.asarray(m.lane_of_row)[:nloc]] = x[lo:lo + nloc]
+        out.append(v)
+    return out
+
+
+def extract_tuple(a: BlockedPackedWhell, zs) -> np.ndarray:
+    parts = []
+    for s, m in enumerate(a.mats):
+        nloc = max(0, min((s + 1) * a.chunk, a.n_rows) - s * a.chunk)
+        parts.append(np.asarray(zs[s])[np.asarray(m.lane_of_row)[:nloc]])
+    return np.concatenate(parts)
+
+
+def blocks_cg(a: BlockedPackedWhell, b, tol: float = 1e-6,
+              maxiter: int = 1000, m_inv=None, interpret=None):
+    """CG over the tuple state (fp32 interval plans): the matvec is
+    :func:`blocks_spmv_tuple`; reductions sum per-block partials.
+    ``b`` is a global ``(n,)`` host vector; returns a CgResult whose
+    ``x`` is in original numbering."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.solvers.cg import CgResult
+
+    bs = tuple(jnp.asarray(v) for v in embed_tuple(a, b))
+
+    def tdot(u, v):
+        return sum(jnp.vdot(us, vs) for us, vs in zip(u, v))
+
+    def taxpy(alpha, u, beta, v):
+        return tuple(alpha * us + beta * vs for us, vs in zip(u, v))
+
+    mv = lambda v: blocks_spmv_tuple(a, v, interpret=interpret)
+    mns = (None if m_inv is None
+           else tuple(jnp.asarray(v) for v in _embed_minv(a, m_inv)))
+
+
+    @jax.jit
+    def run(bs, mns):
+        x0 = tuple(jnp.zeros_like(v) for v in bs)
+        r0 = bs
+        z0 = (r0 if mns is None
+              else tuple(rs * ms for rs, ms in zip(r0, mns)))
+        rz0 = tdot(r0, z0)
+        bn = jnp.sqrt(tdot(bs, bs))
+        bn = jnp.where(bn == 0, 1.0, bn)
+
+        def cond(st):
+            x, r, z, p, rz, k = st
+            return (jnp.sqrt(tdot(r, r)) > tol * bn) & (k < maxiter)
+
+        def body(st):
+            x, r, z, p, rz, k = st
+            ap = mv(p)
+            alpha = rz / tdot(p, ap)
+            x = taxpy(1.0, x, alpha, p)
+            r = taxpy(1.0, r, -alpha, ap)
+            z = (r if mns is None
+                 else tuple(rs * ms for rs, ms in zip(r, mns)))
+            rz_new = tdot(r, z)
+            beta = rz_new / rz
+            p = taxpy(1.0, z, beta, p)
+            return (x, r, z, p, rz_new, k + 1)
+
+        x, r, z, p, rz, k = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
+        rn = jnp.sqrt(tdot(r, r))
+        return x, k, rn, rn <= tol * bn
+
+    x, k, rn, conv = run(bs, mns)
+    xs = extract_tuple(a, x)
+    return CgResult(x=xs, iterations=k, residual_norm=rn, converged=conv)
+
+
+def _embed_minv(a: BlockedPackedWhell, m_inv):
+    out = []
+    for s, m in enumerate(a.mats):
+        lo = s * a.chunk
+        nloc = max(0, min((s + 1) * a.chunk, a.n_rows) - lo)
+        v = np.ones(m.x_pages * _HACK, np.float32)
+        v[np.asarray(m.lane_of_row)[:nloc]] = np.asarray(
+            m_inv, np.float64)[lo:lo + nloc]
+        out.append(v)
+    return out

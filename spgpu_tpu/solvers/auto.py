@@ -91,7 +91,7 @@ def solve(
         itemsize = 8 if coo.values.dtype == np.float64 else 4
         if coo.n_cols * itemsize * 1.4 > _BLOCKS_X_BYTES:
             from spgpu_tpu.parallel.blocks import (
-                blocks_spmv, coo_to_whell_blocks)
+                blocks_cg, blocks_spmv, coo_to_whell_blocks)
 
             a = coo_to_whell_blocks(work)
             blocks = a
@@ -101,6 +101,11 @@ def solve(
                 mv = lambda v: jnp.swapaxes(
                     blocks_spmv(a, jnp.swapaxes(
                         v.reshape(2, S, L), 0, 1)), 0, 1).reshape(2, -1)
+            elif symmetric and a.halo_src is None:
+                # fp32 SPD on an interval plan: the zero-copy tuple CG
+                m_inv = jacobi_preconditioner(work) if jacobi else None
+                return blocks_cg(a, np.asarray(b), tol=tol,
+                                 maxiter=maxiter, m_inv=m_inv)
             else:
                 mv = lambda v: blocks_spmv(a, v.reshape(S, L)).reshape(-1)
         else:

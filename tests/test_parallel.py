@@ -271,3 +271,32 @@ def test_blocked_packed_whell_single_device():
     res = cg(mv, bs, tol=1e-6, maxiter=4000)
     xs = ab.extract(np.asarray(res.x).reshape(S, L))
     assert np.linalg.norm(b - lap32.spmv(xs)) / np.linalg.norm(b) < 1e-4
+
+
+def test_blocks_tuple_zero_copy_path():
+    """The tuple zero-copy protocol (in-kernel halo splice): SpMV vs
+    host golden and tuple-state CG."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.parallel.blocks import (
+        blocks_cg, blocks_spmv_tuple, coo_to_whell_blocks, embed_tuple,
+        extract_tuple)
+    from spgpu_tpu.utils.fixtures import laplacian_2d, random_fem_like
+
+    coo = random_fem_like(3000, 10.0, span=150, far_frac=0.02, seed=5,
+                          dtype=np.float32)
+    a = coo_to_whell_blocks(coo, n_blocks=3)
+    assert a.halo_src is None  # interval plan active
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(3000).astype(np.float32)
+    xs = tuple(jnp.asarray(v) for v in embed_tuple(a, x))
+    z = blocks_spmv_tuple(a, xs, interpret=True)
+    ref = coo.spmv(x)
+    assert np.abs(extract_tuple(a, z) - ref).max() / np.abs(ref).max() < 1e-5
+
+    lap = laplacian_2d(40, 60, dtype=np.float32)
+    ab = coo_to_whell_blocks(lap, n_blocks=2)
+    b = rng.standard_normal(lap.n_rows).astype(np.float32)
+    res = blocks_cg(ab, b, tol=1e-6, maxiter=5000, interpret=True)
+    rr = np.linalg.norm(b - lap.spmv(np.asarray(res.x))) / np.linalg.norm(b)
+    assert rr < 1e-4
