@@ -86,7 +86,15 @@ def main_mtx(argv):
         "storage_bytes": int(getattr(a, "storage_bytes", 0))}))
 
     rng = np.random.default_rng(1)
-    if fmt == "whell":
+    is_cplx = np.issubdtype(coo.values.dtype, np.complexfloating)
+    flops_per = 8.0 if is_cplx else 2.0  # complex mul-add = 8 real flops
+    if is_cplx:
+        # C/Z plane stacks (embed_complex on every complex layout)
+        xc = (rng.standard_normal(coo.n_cols)
+              + 1j * rng.standard_normal(coo.n_cols)).astype(
+                  coo.values.dtype)
+        x = jnp.asarray(a.embed_complex(xc))
+    elif fmt == "whell":
         x = jnp.asarray(a.embed(
             rng.standard_normal(coo.n_cols)), jnp.float32) \
             if not getattr(a, "is_dd", False) else None
@@ -108,7 +116,7 @@ def main_mtx(argv):
     scale = jnp.float32(1e-3)
     t, _ = chained_time(lambda c, a: op(a, c) * scale, x, a,
                         iters_lo=iters, iters_hi=10 * iters)
-    gflops = (2.0 * coo.nnz - 1.0) / t * 1e-9
+    gflops = flops_per * coo.nnz / t * 1e-9
     bw = hbm_bandwidth()
     print(json.dumps({
         "stage": "spmv", "fmt": fmt, "t_avg_s": round(t, 9),
@@ -121,14 +129,18 @@ def main_mtx(argv):
         from spgpu_tpu import solvers
 
         b = rng.standard_normal(coo.n_rows)
-        if not np.issubdtype(coo.values.dtype, np.floating) or \
-                coo.values.dtype == np.float32:
+        if is_cplx:
+            b = (b + 1j * rng.standard_normal(coo.n_rows)).astype(
+                coo.values.dtype)
+        elif coo.values.dtype == np.float32:
             b = b.astype(np.float32)
         t0 = time.perf_counter()
         res = solvers.solve(coo, b, symmetric=props.is_symmetric,
                             tol=cg_tol, maxiter=5000, fmt=fmt)
         t_solve = time.perf_counter() - t0
-        xs = np.asarray(res.x, np.float64)
+        xs = np.asarray(res.x)
+        if not is_cplx:
+            xs = xs.astype(np.float64)
         resid = float(np.linalg.norm(b - coo.spmv(xs))
                       / np.linalg.norm(b))
         print(json.dumps({

@@ -190,17 +190,13 @@ def coo_to_whell_percell(
     pt8[gslot, res_s] = del_s.astype(np.int8)
 
     # runs: cells of one row within one slot are contiguous by
-    # construction; boundaries where (gslot, row) changes
-    newrun = np.r_[True, (gslot[1:] != gslot[:-1])
-                   | (rows_o[1:] != rows_o[:-1])]
-    # note: cells were placed in pending order — deferred cells reorder!
-    # recompute boundaries in PLACEMENT order instead:
+    # construction, but deferred cells reorder placement — find run
+    # boundaries in PLACEMENT (slot, lane) order
     porder = np.lexsort((lane_of, gslot))
     gs_p = gslot[porder]
     row_p = rows_o[porder]
     lane_p = lane_of[porder]
     newrun = np.r_[True, (gs_p[1:] != gs_p[:-1]) | (row_p[1:] != row_p[:-1])]
-    run_id = np.cumsum(newrun) - 1
     r_starts = np.flatnonzero(newrun)
     r_ends = np.r_[r_starts[1:], gs_p.size] - 1
     r_slot = gs_p[r_starts]

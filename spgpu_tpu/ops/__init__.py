@@ -45,11 +45,17 @@ def _on_tpu() -> bool:
 
 
 def _dd_pair(val) -> tuple:
-    """Python float -> (hi, lo) fp32 dd pair preserving fp64 precision."""
+    """Scalar -> (hi, lo) fp32 dd pair.  Python floats keep full fp64
+    precision; traced (jnp) scalars fall back to a single fp32 word
+    (the r2 behaviour) since their lo word isn't host-computable."""
     import numpy as np
 
-    hi = np.float32(val)
-    return (hi, np.float32(float(val) - float(hi)))
+    if isinstance(val, (int, float)):
+        hi = np.float32(val)
+        return (hi, np.float32(float(val) - float(hi)))
+    import jax.numpy as jnp
+
+    return (jnp.asarray(val, jnp.float32), jnp.float32(0.0))
 
 
 def _dd_epilogue(z, alpha, beta, y):
@@ -90,7 +96,10 @@ def _complex_epilogue(z, alpha, beta, y, is_dd: bool):
 
     def rot(v, s):
         """(sr + i*si) * (v[0] + i*v[1]) on plane stacks."""
-        sr, si = float(np.real(s)), float(np.imag(s))
+        if isinstance(s, (int, float, complex)):
+            sr, si = float(np.real(s)), float(np.imag(s))
+        else:  # traced scalar: treated as real
+            sr, si = s, 0.0
         if is_dd:
             from spgpu_tpu.ops import dd as _dd
 
@@ -106,7 +115,7 @@ def _complex_epilogue(z, alpha, beta, y, is_dd: bool):
             re = jnp.stack(_dd.dd_add_dd(rr[0], rr[1], -ii[0], -ii[1]))
             im = jnp.stack(_dd.dd_add_dd(ri[0], ri[1], ir[0], ir[1]))
             return jnp.stack([re, im])
-        if si == 0:
+        if isinstance(si, float) and si == 0:
             return sr * v
         return jnp.stack([sr * v[0] - si * v[1], sr * v[1] + si * v[0]])
 

@@ -79,7 +79,7 @@ def _build_block_plan(coo: CooMatrix, S: int):
     # owner: the greedy hack fill walks rows in order, so the real-row
     # prefix is independent of the phantom tail; lane_capacity is passed
     # explicitly to the converter so both computations agree.
-    caps, lane_real = [], []
+    caps, lane_real, spacers, halo_lane0 = [], [], [], []
     for s in range(S):
         lrows, _, _ = per_shard[s]
         m_s = lrows.size
@@ -110,40 +110,14 @@ def _build_block_plan(coo: CooMatrix, S: int):
         out_pos = (np.arange(chunk) -
                    np.repeat(first_idx, np.diff(np.r_[first_idx, chunk])))
         lane_real.append((hack_of_row * _HACK + out_pos).astype(np.int64))
-
-    # hack-align the phantom (halo) region: spacer phantom rows fill the
-    # last real hack to capacity, so halo coord i sits at lane
-    # halo_lane0 + i EXACTLY — gapless and page-aligned.  The kernel can
-    # then splice the halo window into its x scratch with one copy
-    # (no state-sized scatter/DUS on the host side).
-    spacers, halo_lane0 = [], []
-    for s in range(S):
-        lr = lane_real[s]
-        last = lr[chunk - 1]
-        h_last = int(last) // _HACK
-        # capacity used in the last real hack = lane_start[last row] +
-        # d[last row]; recompute from the fill we already ran
-        lrows, _, _ = per_shard[s]
-        deg = np.bincount(lrows, minlength=chunk).astype(np.int64)
-        d = np.clip(np.ceil(deg / caps[s]).astype(np.int64), 1, 128)
-        # spacer rows (d=1) until the shared hack is exhausted: the fill
-        # opens a new hack when acc + 1 > 128
-        # number of phantom rows the shared hack still accepts:
-        # re-derive acc after the last real row
-        nat = _native.whell_hack_fill(d)
-        if nat is None:
-            acc = 0
-            h = 0
-            for r in range(chunk):
-                if acc + d[r] > 128:
-                    h += 1
-                    acc = 0
-                acc += d[r]
-        else:
-            _, hor, ls_ = nat
-            acc = int(ls_[chunk - 1] + d[chunk - 1])
+        # hack-align the phantom (halo) region: spacer phantom rows
+        # (d=1) fill the last real hack to capacity so halo coord i sits
+        # at lane halo_lane0 + i EXACTLY — gapless and page-aligned; the
+        # kernel then splices the halo window into its x scratch (no
+        # state-sized scatter/DUS on the host side)
+        acc = int(lane_start[chunk - 1] + d[chunk - 1])
         spacers.append(128 - acc)
-        halo_lane0.append((h_last + 1) * _HACK)
+        halo_lane0.append((int(hack_of_row[chunk - 1]) + 1) * _HACK)
 
     # per-requester halo plan: intervals + hub singles
     plans = []  # per s: (ivs [(p, lane_a, span, coord_off)], hubs [(p, cl)])
@@ -357,8 +331,10 @@ def coo_to_whell_blocks(coo: CooMatrix, n_blocks=None,
 
     if n_blocks is None:
         # per-block lane space ~ 1.4x chunk rows; budget ~7 MiB of x
-        # next to the gh=512 accumulator scratch (DESIGN §2g)
-        per_block_rows = int(7 * 2 ** 20 / 4 / 1.4)
+        # next to the gh=512 accumulator scratch (DESIGN §2g).  dd
+        # (float64) stages hi+lo planes: 8 B per lane.
+        itemsize = 8 if np.dtype(coo.values.dtype) == np.float64 else 4
+        per_block_rows = int(7 * 2 ** 20 / itemsize / 1.4)
         n_blocks = max(1, -(-coo.n_rows // per_block_rows))
 
     plan = _build_block_plan(coo, n_blocks) if interval_halos and \
@@ -573,7 +549,7 @@ def extract_tuple(a: BlockedPackedWhell, zs) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def blocks_cg(a: BlockedPackedWhell, b, tol: float = 1e-6,
+def blocks_cg(a: BlockedPackedWhell, b, x0=None, tol: float = 1e-6,
               maxiter: int = 1000, m_inv=None, interpret=None):
     """CG over the tuple state (fp32 interval plans): the matvec is
     :func:`blocks_spmv_tuple`; reductions sum per-block partials.
@@ -584,6 +560,8 @@ def blocks_cg(a: BlockedPackedWhell, b, tol: float = 1e-6,
     from spgpu_tpu.solvers.cg import CgResult
 
     bs = tuple(jnp.asarray(v) for v in embed_tuple(a, b))
+    x0s = (None if x0 is None
+           else tuple(jnp.asarray(v) for v in embed_tuple(a, np.asarray(x0))))
 
     def tdot(u, v):
         return sum(jnp.vdot(us, vs) for us, vs in zip(u, v))
@@ -597,9 +575,10 @@ def blocks_cg(a: BlockedPackedWhell, b, tol: float = 1e-6,
 
 
     @jax.jit
-    def run(bs, mns):
-        x0 = tuple(jnp.zeros_like(v) for v in bs)
-        r0 = bs
+    def run(bs, mns, x0s):
+        x0 = (tuple(jnp.zeros_like(v) for v in bs) if x0s is None else x0s)
+        r0 = (bs if x0s is None
+              else taxpy(1.0, bs, -1.0, mv(x0s)))
         z0 = (r0 if mns is None
               else tuple(rs * ms for rs, ms in zip(r0, mns)))
         rz0 = tdot(r0, z0)
@@ -628,7 +607,7 @@ def blocks_cg(a: BlockedPackedWhell, b, tol: float = 1e-6,
         rn = jnp.sqrt(tdot(r, r))
         return x, k, rn, rn <= tol * bn
 
-    x, k, rn, conv = run(bs, mns)
+    x, k, rn, conv = run(bs, mns, x0s)
     xs = extract_tuple(a, x)
     return CgResult(x=xs, iterations=k, residual_norm=rn, converged=conv)
 

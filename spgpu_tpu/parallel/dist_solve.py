@@ -96,7 +96,7 @@ def _dist_solve_packed(
     import numpy as np
 
     from spgpu_tpu.parallel.dist_spmv import local_matvec
-    from spgpu_tpu.solvers.cg import cg_dd
+    from spgpu_tpu.solvers.cg import bicgstab_dd, cg_dd
 
     def put(arr):
         return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(axis)))
@@ -120,11 +120,13 @@ def _dist_solve_packed(
     pm_s = shard_partitioned(pm, mesh, axis)
     use_dd = pm.is_dd
 
+    dd_solver = cg_dd if solver is _cg else bicgstab_dd
+
     def shard_body(lpm, b_l, x0_l, m_l):
         mv = lambda v: local_matvec(pm, axis, lpm, v[None])[0]
         if use_dd:
-            res = cg_dd(mv, b_l[0], x0=x0_l[0], tol=tol, maxiter=maxiter,
-                        m_inv=m_l[0], axis_name=axis)
+            res = dd_solver(mv, b_l[0], x0=x0_l[0], tol=tol,
+                            maxiter=maxiter, m_inv=m_l[0], axis_name=axis)
         else:
             res = solver(mv, b_l[0], x0=x0_l[0], tol=tol, maxiter=maxiter,
                          m_inv=m_l[0], axis_name=axis)

@@ -276,9 +276,12 @@ def partition_coo_rows_packed(
     gh, ct = mats[0].group_hacks, mats[0].chunk_tiles
     is_dd = mats[0].is_dd
 
-    # pad every shard to the common stacking shape
+    # pad every shard to the common stacking shape.  tiles_c reserves a
+    # chunk per MISSING group id: a group with no chunk is never visited
+    # by the kernel grid and its output block would stay uninitialized
+    # on a real TPU (CPU interpret zero-fills and hides it)
     ng_c = max(m.num_groups for m in mats)
-    tiles_c = max(m.num_tiles for m in mats)
+    tiles_c = max(m.num_tiles + (ng_c - m.num_groups) * ct for m in mats)
     tiles_c = round_up(max(tiles_c, ct), ct)
     xp_c = max(m.x_pages for m in mats)
     wsel = mats[0].window_pages
@@ -308,14 +311,20 @@ def partition_coo_rows_packed(
         leaves["seg_lo"].append(pad2(m.seg_lo, ng_c * gh, fill=-1))
         leaves["seg_hi"].append(pad2(m.seg_hi, ng_c * gh, fill=-1))
         leaves["tile_base"].append(pad2(m.tile_base, tiles_c))
-        # chunk_group: drop the trailing -1 sentinel, pad with the last
-        # real group id (padding chunks accumulate zeros into the same
-        # block and defer its single flush), re-append the sentinel
+        # chunk_group: drop the trailing -1 sentinel; padding chunks
+        # first repeat the last real group id (they accumulate zeros and
+        # defer that group's single flush), then visit each MISSING
+        # group id once so its output block gets written (zeros via the
+        # -1 seg masks); re-append the sentinel
         cg = np.asarray(m.chunk_group)[:-1]
         want = tiles_c // ct
-        if cg.shape[0] < want:
+        missing = np.arange(m.num_groups, ng_c, dtype=cg.dtype)
+        n_pad = want - cg.shape[0]
+        assert n_pad >= missing.size
+        if n_pad:
             cg = np.concatenate([
-                cg, np.full(want - cg.shape[0], cg[-1], cg.dtype)])
+                cg, np.full(n_pad - missing.size, cg[-1], cg.dtype),
+                missing])
         leaves["chunk_group"].append(np.concatenate(
             [cg, np.full(1, -1, cg.dtype)]))
         leaves["lane_of_row"].append(np.asarray(m.lane_of_row))

@@ -104,7 +104,7 @@ def solve(
             elif symmetric and a.halo_src is None:
                 # fp32 SPD on an interval plan: the zero-copy tuple CG
                 m_inv = jacobi_preconditioner(work) if jacobi else None
-                return blocks_cg(a, np.asarray(b), tol=tol,
+                return blocks_cg(a, np.asarray(b), x0=x0, tol=tol,
                                  maxiter=maxiter, m_inv=m_inv)
             else:
                 mv = lambda v: blocks_spmv(a, v.reshape(S, L)).reshape(-1)

@@ -526,6 +526,7 @@ def bicgstab_dd(
     tol: float = 1e-12,
     maxiter: int = 1000,
     m_inv: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> CgResult:
     """BiCGSTAB in double-float arithmetic (non-symmetric fp64 systems
     on the fp32 fast path); vectors are ``(2, n)`` hi/lo stacks.
@@ -533,13 +534,22 @@ def bicgstab_dd(
     Same dd-state pinning discipline as :func:`cg_dd` (every dd vector
     is pinned before a reduction consumes it).  Breakdown guards follow
     :func:`bicgstab`: a vanishing ρ/(r̂·v)/ω freezes the iterate.
+    ``axis_name``: error-free cross-shard reductions, as :func:`cg_dd`.
     """
     from spgpu_tpu.ops import dd
 
     pin = jax.lax.optimization_barrier
 
     def dotd(u, v):
-        return dd.dd_dot(u, v)
+        h, l = dd.dd_dot(u, v)
+        if axis_name is None:
+            return h, l
+        hs = jax.lax.all_gather(h, axis_name)
+        ls = jax.lax.all_gather(l, axis_name)
+        h, l = hs[0], ls[0]
+        for i in range(1, hs.shape[0]):
+            h, l = dd.dd_add_dd(h, l, hs[i], ls[i])
+        return h, l
 
     def mul_s(p, s):  # dd vector * dd scalar -> stack
         h, l = dd.dd_mul(p[0], p[1], s[0], s[1])

@@ -405,3 +405,27 @@ def test_complex_solve_routes_dia_class(cdt, tol):
     x = np.asarray(res.x)
     assert x.dtype == np.dtype(cdt)
     assert np.linalg.norm(b - A.spmv(x)) / np.linalg.norm(b) < tol
+
+
+def test_dd_epilogue_traced_alpha():
+    """alpha/beta as TRACED scalars through the dd fast path (r2 allowed
+    this; the r3 epilogue refactor must not regress it)."""
+    import jax
+
+    from spgpu_tpu.convert import coo_to_whdia
+    from spgpu_tpu.ops import whdia_spmv
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    coo = random_banded(512, bands=5, wander=1, seed=4,
+                        dtype=np.float64).sum_duplicates()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(coo.n_cols)
+    a = coo_to_whdia(coo)
+
+    @jax.jit
+    def f(xp, alpha):
+        return whdia_spmv(a, xp, alpha=alpha, interpret=True)
+
+    z = f(jnp.asarray(dd.split(x)), jnp.float32(2.5))
+    ref = 2.5 * coo.spmv(x)
+    assert np.abs(dd.join(np.asarray(z)) - ref).max() / np.abs(ref).max() < 1e-6

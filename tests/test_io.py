@@ -147,3 +147,50 @@ def test_bench_mtx_pipeline(tmp_path):
     assert stages[0]["nnz"] == spd.nnz  # unfolded
     assert stages[3]["stage"] == "solve"
     assert stages[3]["true_resid"] < 1e-3
+
+
+def test_bench_mtx_complex(tmp_path):
+    """bench.py --mtx on a COMPLEX Matrix Market file: plane-stack x,
+    complex flops accounting, complex solve residual."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.io.mm import write_mm
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    n = 500
+    rng = np.random.default_rng(2)
+    base = random_banded(n, bands=5, wander=0, seed=1,
+                         dtype=np.float64).sum_duplicates()
+    off = (base.values * 0.05
+           + 0.05j * rng.standard_normal(base.nnz)).astype(np.complex64)
+    rows = np.concatenate([base.rows, base.cols, np.arange(n)])
+    cols = np.concatenate([base.cols, base.rows, np.arange(n)])
+    vals = np.concatenate([off, np.conj(off),
+                           np.full(n, 4.0 + 0j, np.complex64)])
+    A = CooMatrix(rows, cols, vals, n, n).sum_duplicates()
+    keep = A.rows >= A.cols
+    tri = CooMatrix(A.rows[keep], A.cols[keep], A.values[keep], n, n)
+    path = tmp_path / "c.mtx"
+    write_mm(str(path), tri)
+    txt = path.read_text().split("\n")
+    txt[0] = txt[0].replace("general", "hermitian")
+    path.write_text("\n".join(txt))
+
+    env = dict(JAX_PLATFORMS="cpu", PATH="/usr/bin:/bin", HOME="/root")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "--mtx", str(path),
+         "--iters", "2", "--cg", "1e-5"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json as _json
+
+    stages = [_json.loads(l) for l in out.stdout.strip().splitlines()
+              if l.startswith("{")]
+    assert stages[0]["field"] == "complex"
+    assert stages[0]["nnz"] == A.nnz
+    assert stages[2]["stage"] == "spmv" and stages[2]["gflops"] > 0
+    assert stages[3]["true_resid"] < 1e-3

@@ -300,3 +300,66 @@ def test_blocks_tuple_zero_copy_path():
     res = blocks_cg(ab, b, tol=1e-6, maxiter=5000, interpret=True)
     rr = np.linalg.norm(b - lap.spmv(np.asarray(res.x))) / np.linalg.norm(b)
     assert rr < 1e-4
+
+
+def test_dist_bicgstab_dd_packed():
+    """dist_bicgstab on a float64 packed partition must run BiCGSTAB
+    (dd), not silently CG (review finding)."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.parallel.dist_solve import dist_bicgstab
+    from spgpu_tpu.parallel.partition import make_row_mesh
+    from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    n = 512
+    band = random_banded(n, bands=5, wander=0, seed=9, dtype=np.float64)
+    rows = np.concatenate([band.rows, np.arange(n)])
+    cols = np.concatenate([band.cols, np.arange(n)])
+    vals = np.concatenate([band.values * 0.1, np.full(n, 4.0)])
+    A = CooMatrix(rows, cols, vals, n, n).sum_duplicates()  # nonsymmetric
+    mesh = make_row_mesh(2)
+    pm = partition_coo_rows_packed(A, 2)
+    assert pm.is_dd
+    b = np.random.default_rng(4).standard_normal(n)
+    res = dist_bicgstab(pm, b, mesh, tol=1e-11, maxiter=3000)
+    x = np.asarray(res.x)
+    assert np.linalg.norm(b - A.spmv(x)) / np.linalg.norm(b) < 1e-9
+
+
+def test_packed_partition_every_group_has_a_chunk():
+    """Stacked shards with UNEQUAL group counts: every group id must
+    appear in every shard's chunk_group, else the kernel never writes
+    the padded output blocks and they stay uninitialized on real TPUs
+    (review finding; CPU interpret zero-fills and hides it)."""
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+
+    rng = np.random.default_rng(3)
+    n = 1024
+    # skewed degrees: first half dense rows, second half singletons ->
+    # different per-shard hack counts -> different num_groups
+    rows = np.concatenate([
+        np.repeat(np.arange(n // 2), 24),
+        np.arange(n // 2, n)])
+    cols = np.concatenate([
+        rng.integers(0, n, (n // 2) * 24),
+        np.arange(n // 2, n)])
+    vals = rng.standard_normal(rows.size).astype(np.float32)
+    coo = CooMatrix(rows, cols, vals, n, n)
+    pm = partition_coo_rows_packed(coo, 2)
+    cg = np.asarray(pm.chunk_group)
+    for s in range(2):
+        ids = set(int(v) for v in cg[s][:-1])
+        assert ids == set(range(pm.num_groups)), (s, ids, pm.num_groups)
+    # and the product still matches the golden
+    import jax.numpy as jnp
+
+    from spgpu_tpu.parallel.dist_spmv import dist_spmv
+    from spgpu_tpu.parallel.partition import make_row_mesh
+
+    x = rng.standard_normal(n).astype(np.float32)
+    z = np.asarray(dist_spmv(pm, jnp.asarray(x), make_row_mesh(2)))
+    ref = coo.spmv(x)
+    assert np.abs(z - ref).max() / max(np.abs(ref).max(), 1) < 1e-4
