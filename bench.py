@@ -71,7 +71,13 @@ def main_mtx(argv):
     if fmt is None:
         fmt = suggest_format(coo)
         fmt = {"dia": "sdia", "ell": "whell"}.get(fmt, fmt)
-        if fmt == "sdia" and coo.n_cols * 4 > 11 * 2 ** 20:
+        # per-column x bytes in the SDIA kernel's VMEM: fp32 4, dd and
+        # complex64 8 (two planes), complex128 16 (dd plane pairs) —
+        # mirrors solvers/auto's thresholds so the bench and the solver
+        # route identically (ADVICE r3)
+        plane_b = {"f": 4, "d": 8, "F": 8, "D": 16}[coo.values.dtype.char] \
+            if coo.values.dtype.char in "fdFD" else 4
+        if fmt == "sdia" and coo.n_cols * plane_b > 11 * 2 ** 20:
             fmt = "whdia"
     conv = {"whell": lambda c: coo_to_whell(c, packed=True),
             "whdia": coo_to_whdia, "sdia": coo_to_sdia}[fmt]

@@ -46,16 +46,28 @@ def _on_tpu() -> bool:
 
 def _dd_pair(val) -> tuple:
     """Scalar -> (hi, lo) fp32 dd pair.  Python floats keep full fp64
-    precision; traced (jnp) scalars fall back to a single fp32 word
-    (the r2 behaviour) since their lo word isn't host-computable."""
+    precision.  Traced scalars: an explicit ``(hi, lo)`` tuple passes
+    through; a traced float64 word is split on-device (hi = fp32 cast,
+    lo = remainder — exact, so jitted CPU/x64 callers keep dd
+    precision); a traced fp32 word is already exact with lo = 0."""
     import numpy as np
 
+    if isinstance(val, tuple) and len(val) == 2:
+        import jax.numpy as jnp
+
+        return (jnp.asarray(val[0], jnp.float32),
+                jnp.asarray(val[1], jnp.float32))
     if isinstance(val, (int, float)):
         hi = np.float32(val)
         return (hi, np.float32(float(val) - float(hi)))
     import jax.numpy as jnp
 
-    return (jnp.asarray(val, jnp.float32), jnp.float32(0.0))
+    v = jnp.asarray(val)
+    if v.dtype == jnp.float64:
+        hi = v.astype(jnp.float32)
+        lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+        return (hi, lo)
+    return (v.astype(jnp.float32), jnp.float32(0.0))
 
 
 def _dd_epilogue(z, alpha, beta, y):
@@ -348,6 +360,14 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     special = getattr(a, "is_dd", False) or isinstance(a, WhellComplex)
+    if fused and special:
+        # an explicit fused=True cannot be honoured for dd/complex
+        # slabs — fail loudly instead of silently downgrading to the
+        # loop-of-SpMV path (ADVICE r3)
+        raise NotImplementedError(
+            "fused SpMM covers fp32/bf16 packed layouts only; dd/complex "
+            "matrices run the loop-of-SpMV path (omit fused or pass "
+            "fused=False)")
     if fused is None:
         fused = getattr(a, "packed", False) and not special
     if fused and not special:
@@ -398,8 +418,21 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
     from spgpu_tpu.formats.cplanes import ComplexPlanes
     from spgpu_tpu.formats.whdia import BlockedWhdia
     from spgpu_tpu.formats.whell import (
-        PanelledWhell, SegmentedWhell, WhellComplex,
+        PanelledWhell, PcellWhell, SegmentedWhell, WhellComplex,
     )
+    from spgpu_tpu.parallel.blocks import BlockedPackedWhell
+
+    def _blocks_spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
+        # stacked lane-space state (S, Lmax) in and out, like the other
+        # packed layouts whose vectors live in lane space
+        from spgpu_tpu.parallel.blocks import blocks_spmv
+
+        z = blocks_spmv(a, x, **kw)
+        is_zero = isinstance(beta, (int, float)) and beta == 0
+        if is_zero or y is None:
+            return z if isinstance(alpha, (int, float)) and alpha == 1 \
+                else alpha * z
+        return alpha * z + beta * y
 
     table = {
         EllMatrix: ell_spmv,
@@ -412,8 +445,10 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
         WhellComplex: whell_spmv,
         PanelledWhell: whell_spmv,
         SegmentedWhell: whell_spmv,
+        PcellWhell: whell_spmv,
         WhdiaMatrix: whdia_spmv,
         BlockedWhdia: whdia_spmv,
+        BlockedPackedWhell: _blocks_spmv,
     }
     if isinstance(a, ComplexPlanes):
         fn = sdia_spmv if isinstance(a.ar, SdiaMatrix) else whdia_spmv

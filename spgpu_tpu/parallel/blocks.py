@@ -195,16 +195,16 @@ def _build_block_plan(coo: CooMatrix, S: int):
         if not isinstance(m, WhellMatrix):
             return None
         # the pre-computed real-row lane map must match the converter's,
-        # and the halo region must be gapless and page-aligned
+        # and the halo region must be gapless and page-aligned; a
+        # divergence is a recoverable planning mismatch — fall back to
+        # the flat-gather plan rather than failing the conversion
         lor = np.asarray(m.lane_of_row)
         if not np.array_equal(lor[:chunk], lane_real[s][:chunk]):
-            raise AssertionError(
-                "block plan lane map diverged from the converter — "
-                "lane_capacity determinism broken")
+            return None
         hl = lor[chunk + sp:]
         if P_list[s] and not (hl[0] == halo_lane0[s] and hl[0] % 128 == 0
                               and np.all(np.diff(hl) == 1)):
-            raise AssertionError("halo lane region not gapless/aligned")
+            return None
         mats.append(m)
     return mats, plans, P_list, chunk, lane_real, halo_lane0, spacers
 
@@ -329,6 +329,11 @@ def coo_to_whell_blocks(coo: CooMatrix, n_blocks=None,
     batched flat gather."""
     import jax.numpy as jnp
 
+    if np.issubdtype(np.dtype(coo.values.dtype), np.complexfloating):
+        raise ValueError(
+            "complex matrices are not supported by the row-blocked "
+            "layout yet; use a single-device complex layout (WHELL/"
+            "WHDIA plane pairs)")
     if n_blocks is None:
         # per-block lane space ~ 1.4x chunk rows; budget ~7 MiB of x
         # next to the gh=512 accumulator scratch (DESIGN §2g).  dd
@@ -365,7 +370,10 @@ def coo_to_whell_blocks(coo: CooMatrix, n_blocks=None,
                 l0 = int(pl_.min())
                 wl = int(pl_.max()) + 1 - l0
                 win_pos[s, :P] = pl_ - l0
-                assert l0 == halo_lane0[s] and wl == P  # gapless/aligned
+                if l0 != halo_lane0[s] or wl != P:  # gapless/aligned
+                    raise ValueError(
+                        "halo lane window not gapless/page-aligned "
+                        f"(l0={l0} vs {halo_lane0[s]}, len={wl} vs {P})")
             else:
                 l0, wl = halo_lane0[s], 1
             l0s.append(l0)

@@ -194,6 +194,14 @@ def build_shard_mats(coo: CooMatrix, n_shards: int):
     (``parallel.blocks`` → single-device row blocks)."""
     if coo.n_rows != coo.n_cols:
         raise ValueError("halo-partitioned SpMV requires a square matrix")
+    if np.issubdtype(np.dtype(coo.values.dtype), np.complexfloating):
+        # the stacking below keys fp32-vs-dd only; a complex COO would
+        # reach coo_to_whell as a WhellComplex plane pair the stacker
+        # was never built for — fail loudly (VERDICT r3 missing #3)
+        raise ValueError(
+            "complex matrices are not supported by the packed partition "
+            "yet; use the classic partition (partition_coo_rows) or a "
+            "single-device complex layout")
     n = coo.n_rows
     chunk = round_up(-(-n // n_shards), _HACK)
     owner_r = coo.rows // chunk
@@ -302,7 +310,14 @@ def partition_coo_rows_packed(
                   tile_base=[], chunk_group=[], lane_of_row=[],
                   group_bases=[], values_lo=[])
     for m in mats:
-        assert (m.group_hacks, m.chunk_tiles, m.window_pages) == (gh, ct, wsel)
+        if (m.group_hacks, m.chunk_tiles, m.window_pages) != (gh, ct, wsel):
+            # unconditional (assert would strip under -O and silently
+            # stack mixed layout conventions — the corruption class
+            # _pad_stack_whell already guards against)
+            raise ValueError(
+                "shard layout geometry diverged: "
+                f"{(m.group_hacks, m.chunk_tiles, m.window_pages)} != "
+                f"{(gh, ct, wsel)}")
         leaves["values"].append(pad2(m.values, tiles_c * 8))
         leaves["residue"].append(pad2(m.residue, tiles_c * 8))
         leaves["page_tab"].append(pad2(m.page_tab, tiles_c * 8))
@@ -320,7 +335,10 @@ def partition_coo_rows_packed(
         want = tiles_c // ct
         missing = np.arange(m.num_groups, ng_c, dtype=cg.dtype)
         n_pad = want - cg.shape[0]
-        assert n_pad >= missing.size
+        if n_pad < missing.size:
+            raise ValueError(
+                f"chunk padding budget ({n_pad}) cannot cover the "
+                f"{missing.size} missing group ids — tiles_c undersized")
         if n_pad:
             cg = np.concatenate([
                 cg, np.full(n_pad - missing.size, cg[-1], cg.dtype),

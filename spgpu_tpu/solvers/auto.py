@@ -36,7 +36,9 @@ def solve(
 
     ``symmetric=True`` runs CG (SPD systems), else BiCGSTAB.  ``fmt``
     overrides the automatic layout choice
-    ("whell" | "sdia" | "whdia" | "hell").
+    ("whell" | "sdia" | "whdia" | "hell" | "blocks" | "pcell" —
+    "blocks" forces the row-blocked packed layout regardless of size,
+    "pcell" the per-cell-routing layout).
     Returns a :class:`~spgpu_tpu.solvers.cg.CgResult` whose ``x`` is in
     the ORIGINAL row numbering (relabelling is internal).
     """
@@ -84,12 +86,13 @@ def solve(
     lane_embed = None  # original-index -> lane-space map (packed WHELL)
     blocks = None  # row-blocked layout for x beyond the VMEM budget
     is_dd = False
-    if fmt == "whell":
+    if fmt in ("whell", "blocks"):
         # x beyond the per-kernel VMEM budget: row blocks (each a
         # flagship-grade packed matrix; halos move as interval slices —
-        # parallel/blocks.py supersedes column panels for large solves)
+        # parallel/blocks.py supersedes column panels for large solves).
+        # fmt="blocks" forces this path regardless of size.
         itemsize = 8 if coo.values.dtype == np.float64 else 4
-        if coo.n_cols * itemsize * 1.4 > _BLOCKS_X_BYTES:
+        if fmt == "blocks" or coo.n_cols * itemsize * 1.4 > _BLOCKS_X_BYTES:
             from spgpu_tpu.parallel.blocks import (
                 blocks_cg, blocks_spmv, coo_to_whell_blocks)
 
@@ -131,6 +134,13 @@ def solve(
     elif fmt == "hell":
         a = coo_to_hell(work)
         mv = lambda v: hell_spmv(a, v)
+    elif fmt == "pcell":
+        # per-cell row routing (kept as the measured-refuted kernel
+        # family, DESIGN §2h); x/z are original-space vectors
+        from spgpu_tpu.convert.pcell import coo_to_whell_percell
+
+        a = coo_to_whell_percell(work)
+        mv = lambda v: whell_spmv(a, v)
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
 
