@@ -104,6 +104,7 @@ def coo_to_whell(
     scattered: Optional[bool] = None,
     group_hacks: Optional[int] = None,
     chunk_tiles: Optional[int] = None,
+    row_degrees: Optional[np.ndarray] = None,
 ):
     """Build a :class:`WhellMatrix` from host COO triples.
 
@@ -141,6 +142,13 @@ def coo_to_whell(
     per-tile x window via an in-kernel select tree: wider windows mean
     fewer (hack, window) groups and less padding for a few extra vector
     ops per tile.
+
+    ``row_degrees`` (packed only) overrides the per-row degree vector
+    that sizes lane segments — with an explicit ``lane_capacity`` this
+    PINS the lane map, so two conversions of entry SUBSETS of one
+    matrix (e.g. interior/exterior splits for halo-overlap scheduling,
+    :mod:`spgpu_tpu.parallel.partition_packed`) produce slabs sharing
+    one lane space whose products sum exactly.
 
     ``group_hacks`` / ``chunk_tiles`` override the measured-default
     packed-layout geometry (output group size in hacks; tiles per grid
@@ -228,7 +236,10 @@ def coo_to_whell(
                                     chunk_tiles=ct,
                                     panel_x_bytes=panel_x_bytes,
                                     return_plan=return_plan,
-                                    scattered=scattered)
+                                    scattered=scattered,
+                                    row_degrees=row_degrees)
+    if row_degrees is not None:
+        raise ValueError("row_degrees requires packed=True")
     window_pages = window_pages or 8
     if window_pages != 8:
         raise ValueError("window_pages > 8 requires packed=True")
@@ -423,6 +434,7 @@ def _coo_to_whell_packed(
     return_plan: bool = False,
     scattered: bool = False,
     supers_per_tile: Optional[int] = None,
+    row_degrees: Optional[np.ndarray] = None,
 ) -> WhellMatrix:
     """Packed-lane WHELL builder (see :func:`coo_to_whell` docstring).
 
@@ -449,7 +461,10 @@ def _coo_to_whell_packed(
                          "(float64) value slabs; pass scattered=False")
     val_dtype = np.dtype(np.float64) if is_dd else vals_in.dtype
 
-    deg = coo.row_lengths().astype(np.int64)
+    deg = (np.asarray(row_degrees, np.int64) if row_degrees is not None
+           else coo.row_lengths().astype(np.int64))
+    if row_degrees is not None and deg.shape != (n,):
+        raise ValueError(f"row_degrees must have shape ({n},)")
     if lane_capacity is None:
         # measured sweet spot on power-law FEM profiles: ~1.25x the mean
         # degree balances segment padding against hack-count growth

@@ -226,18 +226,37 @@ def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
     return sdia_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 
-def sdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
-    """Multi-RHS SpMM on SDIA (``x``: ``(n_rhs, n_cols)``): one Pallas
-    SpMV per RHS under one jit (same strategy rationale as
-    :func:`whell_spmm`)."""
+def sdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
+              fused=None):
+    """Multi-RHS SpMM on SDIA (``x``: ``(n_rhs, n_cols)``).
+
+    Default for plain fp32/bf16: the FUSED kernel — SDIA is values-only
+    traffic, so one value-plane read amortises over every RHS (up to
+    ``n_rhs``× less traffic per product; the reference's host m-loop is
+    exactly N×single, ``sdot.cu:167-175``).  ``fused=False`` forces the
+    loop-of-SpMV; dd/complex always take it (``fused=True`` raises)."""
     import jax.numpy as jnp
+
+    from spgpu_tpu.formats.cplanes import ComplexPlanes
 
     if interpret is None:
         interpret = not _on_tpu()
-    zs = jnp.stack([
-        sdia_spmv(a, x[r], interpret=interpret)
-        for r in range(int(x.shape[0]))
-    ])
+    special = getattr(a, "is_dd", False) or isinstance(a, ComplexPlanes)
+    if fused and special:
+        raise NotImplementedError(
+            "fused SpMM covers fp32/bf16 SDIA only; dd/complex matrices "
+            "run the loop-of-SpMV path (omit fused or pass fused=False)")
+    if fused is None:
+        fused = not special and a.n_diags > 0
+    if fused:
+        from spgpu_tpu.ops.pallas_kernels import sdia_spmm_pallas
+
+        zs = sdia_spmm_pallas(a, x, interpret=interpret)
+    else:
+        zs = jnp.stack([
+            sdia_spmv(a, x[r], interpret=interpret)
+            for r in range(int(x.shape[0]))
+        ])
     is_zero = isinstance(beta, (int, float)) and beta == 0
     if is_zero or y is None:
         return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs
@@ -388,20 +407,41 @@ def whell_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     return zs
 
 
-def whdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
-    """Multi-RHS SpMM on WHDIA (``x``: ``(n_rhs, n_cols)``): one Pallas
-    SpMV per RHS under one jit (same strategy rationale as
-    :func:`whell_spmm`)."""
+def whdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
+               fused=None):
+    """Multi-RHS SpMM on WHDIA (``x``: ``(n_rhs, n_cols)``).
+
+    Default for plain fp32/bf16: the FUSED kernel — WHDIA is near-
+    values-only traffic (4 B value + 2 B r0 per cell), so sharing one
+    slab read + arithmetic decode across statically-unrolled RHS cuts
+    per-product HBM traffic up to ``n_rhs``× (the reference's host
+    m-loop is N×single, ``sdot.cu:167-175``).  ``fused=False`` forces
+    the loop-of-SpMV; dd/complex always take it (``fused=True``
+    raises)."""
     import jax.numpy as jnp
 
-    from spgpu_tpu.ops.pallas_kernels import whdia_spmv_pallas
+    from spgpu_tpu.formats.cplanes import ComplexPlanes
 
     if interpret is None:
         interpret = not _on_tpu()
-    zs = jnp.stack([
-        whdia_spmv_pallas(a, x[r], interpret=interpret)
-        for r in range(int(x.shape[0]))
-    ])
+    special = getattr(a, "is_dd", False) or isinstance(a, ComplexPlanes)
+    if fused and special:
+        raise NotImplementedError(
+            "fused SpMM covers fp32/bf16 WHDIA only; dd/complex matrices "
+            "run the loop-of-SpMV path (omit fused or pass fused=False)")
+    if fused is None:
+        fused = not special
+    if fused:
+        from spgpu_tpu.ops.pallas_kernels import whdia_spmm_pallas
+
+        zs = whdia_spmm_pallas(a, x, interpret=interpret)
+    else:
+        # the dispatching whdia_spmv (not the raw fp32 kernel): dd and
+        # complex plane stacks route to their own kernels per RHS
+        zs = jnp.stack([
+            whdia_spmv(a, x[r], interpret=interpret)
+            for r in range(int(x.shape[0]))
+        ])
     is_zero = isinstance(beta, (int, float)) and beta == 0
     if is_zero or y is None:
         return zs if isinstance(alpha, (int, float)) and alpha == 1 else alpha * zs

@@ -289,10 +289,9 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
     )(*ops, values, residue, page_tab, seg_lo, seg_hi, *x_ops)
 
 
-def _whell_packed_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
-                            pt_ref, seglo_ref, seghi_ref, x_hbm_ref, z_ref,
-                            zh, zl, x_vmem, xsem, *, window_pages,
-                            chunk_tiles, group_hacks, interpret):
+def _whell_packed_dd_kernel(*refs, window_pages,
+                            chunk_tiles, group_hacks, interpret,
+                            halo_page=None):
     with __import__("contextlib").ExitStack() as _stack:
         from spgpu_tpu.ops import dd as _ddmod
 
@@ -300,9 +299,12 @@ def _whell_packed_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
             # Mosaic can't lower optimization_barrier (and doesn't
             # algebraically simplify fp) — trace the EFTs unguarded
             _stack.enter_context(_ddmod.unguarded())
+        win_ref = None
+        if halo_page is not None:
+            refs = list(refs)
+            win_ref = refs.pop(9)  # after the x operand
         _whell_packed_dd_body(
-            tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref, pt_ref,
-            seglo_ref, seghi_ref, x_hbm_ref, z_ref, zh, zl, x_vmem, xsem,
+            *refs, win_ref=win_ref, halo_page=halo_page,
             window_pages=window_pages, chunk_tiles=chunk_tiles,
             group_hacks=group_hacks)
 
@@ -310,7 +312,8 @@ def _whell_packed_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
 def _whell_packed_dd_body(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
                           pt_ref, seglo_ref, seghi_ref, x_hbm_ref, z_ref,
                           zh, zl, x_vmem, xsem, *, window_pages,
-                          chunk_tiles, group_hacks):
+                          chunk_tiles, group_hacks, win_ref=None,
+                          halo_page=None):
     """Double-float (fp64 emulation) packed WHELL SpMV.
 
     Same structure as :func:`_whell_packed_kernel` with every value in
@@ -329,6 +332,10 @@ def _whell_packed_dd_body(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
         dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
         dma.start()
         dma.wait()
+        if win_ref is not None:
+            # splice the block's halo (2, wp, 128) pair into the x
+            # scratch after the staging DMA (zero-copy row blocks)
+            x_vmem[:, pl.ds(halo_page, win_ref.shape[1]), :] = win_ref[:]
 
     first = jnp.logical_or(
         c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
@@ -402,25 +409,31 @@ def _whell_packed_dd_body(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
-    "group_hacks", "interpret"))
+    "group_hacks", "halo_page", "interpret"))
 def _whell_packed_dd_call(values, values_lo, residue, page_tab, seg_lo,
-                          seg_hi, tile_base, chunk_group, x3d, *, num_tiles,
+                          seg_hi, tile_base, chunk_group, x3d,
+                          halo_win=None, *, num_tiles,
                           num_groups, x_pages, window_pages, chunk_tiles,
-                          group_hacks, interpret=False):
+                          group_hacks, halo_page=None, interpret=False):
     ct, gh = chunk_tiles, group_hacks
     num_chunks = num_tiles // ct
+    in_specs = [
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # hi
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # lo
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # res
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # pt
+        pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+        pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, pages, 128)
+    ]
+    x_ops = (x3d,)
+    if halo_page is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        x_ops = (x3d, halo_win)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # hi
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # lo
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # res
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # pt
-            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
-            pl.BlockSpec((gh, 128), lambda c, tm, cg: (cg[c], 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # x3d (2, pages, 128)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((2, gh, 128), lambda c, tm, cg: (0, cg[c], 0)),
         scratch_shapes=[
             pltpu.VMEM((gh, 8, 128), jnp.float32),
@@ -432,7 +445,7 @@ def _whell_packed_dd_call(values, values_lo, residue, page_tab, seg_lo,
     return pl.pallas_call(
         functools.partial(_whell_packed_dd_kernel, window_pages=window_pages,
                           chunk_tiles=ct, group_hacks=gh,
-                          interpret=interpret),
+                          interpret=interpret, halo_page=halo_page),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, num_groups * gh, 128), jnp.float32),
         interpret=interpret,
@@ -442,7 +455,7 @@ def _whell_packed_dd_call(values, values_lo, residue, page_tab, seg_lo,
             transcendentals=0,
         ),
     )(tile_base, chunk_group, values, values_lo, residue, page_tab,
-      seg_lo, seg_hi, x3d)
+      seg_lo, seg_hi, *x_ops)
 
 
 def whell_spmv_dd_pallas(a: WhellMatrix, x_pair, interpret: bool = False):
@@ -1099,6 +1112,160 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     return alpha * acc + beta * y
 
 
+def _whdia_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
+                       x_hbm_ref, z_ref, zacc, x_vmem, xsem, *,
+                       window_pages, chunk_tiles, group_hacks, n_rhs):
+    """Fused multi-RHS WHDIA SpMM: WHDIA is the VALUES-ONLY-traffic
+    format (4 B value + 2 B r0 per cell, indices reconstructed
+    arithmetically), so sharing one slab read + decode across ``n_rhs``
+    statically-unrolled products cuts per-product HBM traffic up to
+    ``n_rhs``× — where the packed-WHELL fused win was only ~1.14×
+    (it shares decode, not much traffic).  Reference bar: the host
+    m-loop ``sdot.cu:167-175`` costs exactly N×single."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        zacc[:] = jnp.zeros_like(zacc)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        meta = tmeta_ref[t]
+        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        # decode ONCE per tile, shared by every RHS
+        r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
+        rr = jax.lax.bitwise_and(r0, jnp.int32(127))
+        pt = jnp.clip(rq + (lane < rr).astype(jnp.int32), 0,
+                      window_pages - 1)
+        idx = jax.lax.bitwise_and(r0 + lane, jnp.int32(127))
+        v = vals_ref[k * 8:(k + 1) * 8, :]
+        if window_pages > 8:
+            pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+            blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+        for r in range(n_rhs):
+            win8 = x_vmem[r, pl.ds(base, 8), :]
+            if window_pages == 8:
+                h1 = jnp.take_along_axis(win8, pt, axis=0)
+            else:
+                h1 = jnp.take_along_axis(win8, pt7, axis=0)
+                for wb in range(1, window_pages // 8):
+                    winb = x_vmem[r, pl.ds(base + 8 * wb, 8), :]
+                    hb = jnp.take_along_axis(winb, pt7, axis=0)
+                    h1 = jnp.where(blk == wb, hb, h1)
+            g = jnp.take_along_axis(h1, idx, axis=1)
+            zacc[r, pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += \
+                (v * g)[None]
+
+    nc = pl.num_programs(0)
+    last = jnp.logical_or(
+        c == nc - 1, cgroup_ref[c] != cgroup_ref[jnp.minimum(c + 1, nc - 1)])
+
+    @pl.when(last)
+    def _():
+        for r in range(n_rhs):
+            acc = zacc[r].reshape(2, group_hacks, 8, 128)
+            z_ref[r] = acc.sum(axis=(0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "n_rhs", "interpret"))
+def _whdia_spmm_call(values, slot_r0, tile_base, chunk_group, x3d, *,
+                     num_tiles, num_groups, x_pages, window_pages=8,
+                     chunk_tiles=_WHDIA_CT, group_hacks=32, n_rhs=1,
+                     interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x3d (n_rhs, pages, 128)
+        ],
+        out_specs=pl.BlockSpec(
+            (n_rhs, gh, 128), lambda c, tm, cg: (0, cg[c], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_rhs, 2 * gh, 8, 128), values.dtype),
+            pltpu.VMEM((n_rhs, x_pages, 128), values.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_whdia_spmm_kernel, window_pages=window_pages,
+                          chunk_tiles=ct, group_hacks=gh, n_rhs=n_rhs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_rhs, num_groups * gh, 128), values.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_tiles * 8 * 128 * n_rhs,
+            bytes_accessed=num_tiles * 8 * 128 * 6
+            + n_rhs * x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(tile_base, chunk_group, values, slot_r0, x3d)
+
+
+def whdia_spmm_pallas(a, x, interpret: bool = False, rhs_per_pass=None):
+    """Fused ``Z = A @ X`` on a WHDIA layout; ``x``: ``(n_rhs, n_cols)``,
+    returns ``(n_rhs, n_rows)``.  Values-only traffic shared across
+    statically-unrolled RHS; a large block runs in VMEM/compile-budget
+    passes (same scheme as :func:`whell_spmm_packed_pallas`)."""
+    from spgpu_tpu.formats.whdia import BlockedWhdia
+
+    n_rhs = int(x.shape[0])
+    if isinstance(a, BlockedWhdia):
+        return jnp.concatenate([
+            whdia_spmm_pallas(b, x[:, off:off + b.n_cols],
+                              interpret=interpret,
+                              rhs_per_pass=rhs_per_pass)
+            for b, off in zip(a.blocks, a.col_offs)], axis=1)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    per_rhs = (a.x_pages * 128 + 2 * a.group_hacks * 8 * 128) * itemsize
+    if per_rhs > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"X + accumulator for even one RHS ({per_rhs/2**20:.0f} MiB) "
+            "exceeds the VMEM budget; use BlockedWhdia row blocks")
+    if rhs_per_pass is None:
+        rhs_per_pass = n_rhs
+        while rhs_per_pass > 1 and (
+                rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES
+                or a.chunk_tiles * rhs_per_pass > _SPMM_UNROLL_BUDGET):
+            rhs_per_pass -= 1
+    rhs_per_pass = max(1, min(rhs_per_pass, n_rhs))
+    pad = a.x_pages * 128 - a.n_cols
+    x3 = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
+    x3 = x3.reshape(n_rhs, a.x_pages, 128)
+    outs = []
+    for r0 in range(0, n_rhs, rhs_per_pass):
+        rp = min(rhs_per_pass, n_rhs - r0)
+        z = _whdia_spmm_call(
+            a.values, a.slot_r0, a.tile_base, a.chunk_group,
+            x3[r0:r0 + rp],
+            num_tiles=a.num_tiles, num_groups=a.num_groups,
+            x_pages=a.x_pages, window_pages=a.window_pages,
+            chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
+            n_rhs=rp, interpret=interpret,
+        )
+        outs.append(z.reshape(rp, -1)[:, : a.n_rows])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+
 def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
                      x_hbm_ref, z_ref, zacc, x_vmem, xsem, *, window_pages,
                      chunk_tiles, group_hacks, interpret):
@@ -1486,6 +1653,117 @@ def sdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     if is_zero or y is None:
         return acc if isinstance(alpha, (int, float)) and alpha == 1 else alpha * acc
     return alpha * acc + beta * y
+
+
+def _sdia_spmm_kernel(vals_ref, x_hbm_ref, z_ref, x_vmem, xsem, *,
+                      offsets, margin_sub, chunk_tiles, n_rhs):
+    """Fused multi-RHS SDIA SpMM: the value planes (the ONLY per-cell
+    traffic in this format) are read once per tile and amortised over
+    ``n_rhs`` statically-unrolled products — each extra RHS costs two
+    lane rolls + a select + an fma per diagonal but no slab traffic
+    (reference bar: host m-loop = N×single, ``sdot.cu:167-175``)."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+        dma.start()
+        dma.wait()
+
+    zdt = z_ref.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        accs = [None] * n_rhs
+        for j, o in enumerate(offsets):
+            q, r = divmod(int(o) + margin_sub * 128, 128)
+            v = vals_ref[j, k * 8:(k + 1) * 8, :].astype(zdt)
+            for rr_ in range(n_rhs):
+                a9 = x_vmem[rr_, pl.ds(t * 8 + q, 9), :]
+                yk = _sdia_xwin(a9, r, lane)
+                contrib = v * yk
+                accs[rr_] = contrib if accs[rr_] is None \
+                    else accs[rr_] + contrib
+        for rr_ in range(n_rhs):
+            z_ref[rr_, k * 8:(k + 1) * 8, :] = accs[rr_]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "margin_sub", "x_sub", "chunk_tiles", "n_rhs", "interpret"))
+def _sdia_spmm_call(values, x3d, *, offsets, margin_sub, x_sub,
+                    chunk_tiles, n_rhs, interpret=False):
+    nd, rows8, _ = values.shape
+    ct = chunk_tiles
+    n_tiles = rows8 // 8
+    num_chunks = n_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x3d (n_rhs, x_sub, 128)
+        ],
+        out_specs=pl.BlockSpec((n_rhs, ct * 8, 128), lambda c: (0, c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n_rhs, x_sub, 128), x3d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_sdia_spmm_kernel, offsets=offsets,
+                          margin_sub=margin_sub, chunk_tiles=ct,
+                          n_rhs=n_rhs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rhs, rows8, 128), x3d.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * n_tiles * 1024 * n_rhs,
+            bytes_accessed=(values.size * values.dtype.itemsize
+                            + n_rhs * (x_sub + rows8) * 128
+                            * x3d.dtype.itemsize),
+            transcendentals=0,
+        ),
+    )(values, x3d)
+
+
+def sdia_spmm_pallas(a, x, interpret: bool = False, rhs_per_pass=None):
+    """Fused ``Z = A @ X`` on an SDIA layout; ``x``: ``(n_rhs, n_cols)``,
+    returns ``(n_rhs, n_rows)``.  Splits into VMEM/compile-budget
+    passes like :func:`whell_spmm_packed_pallas`."""
+    n_rhs = int(x.shape[0])
+    margin_sub, x_sub, ct = _sdia_geometry(a)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    per_rhs = x_sub * 128 * itemsize
+    if per_rhs > _X_VMEM_LIMIT_BYTES:
+        raise NotImplementedError(
+            f"padded x ({per_rhs/2**20:.0f} MiB) exceeds the "
+            "VMEM-resident limit; use WHDIA for this size")
+    nd = max(1, a.n_diags)
+    if rhs_per_pass is None:
+        rhs_per_pass = n_rhs
+        while rhs_per_pass > 1 and (
+                rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES):
+            rhs_per_pass -= 1
+    rhs_per_pass = max(1, min(rhs_per_pass, n_rhs))
+    # keep the unrolled body (ct * nd * rhs_per_pass) inside the Mosaic
+    # compile budget by shrinking the chunk, not the fusion width
+    while ct > 1 and ct * nd * rhs_per_pass > _SPMM_UNROLL_BUDGET:
+        ct //= 2
+    n_tiles = a.n_tiles
+    while ct > 1 and n_tiles % ct:
+        ct //= 2
+    pad_lo = margin_sub * 128
+    pad_hi = x_sub * 128 - pad_lo - a.n_cols
+    x3 = jnp.pad(x, ((0, 0), (pad_lo, pad_hi)))
+    x3 = x3.reshape(n_rhs, x_sub, 128)
+    outs = []
+    for r0 in range(0, n_rhs, rhs_per_pass):
+        rp = min(rhs_per_pass, n_rhs - r0)
+        z = _sdia_spmm_call(a.values, x3[r0:r0 + rp], offsets=a.offsets,
+                            margin_sub=margin_sub, x_sub=x_sub,
+                            chunk_tiles=ct, n_rhs=rp, interpret=interpret)
+        outs.append(z.reshape(rp, -1)[:, : a.n_rows])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def _sdia_xwin(a9, r, lane):

@@ -399,7 +399,7 @@ def coo_to_whell_blocks(coo: CooMatrix, n_blocks=None,
             hub_lanes=jnp.asarray(hub_lanes), hub_pc=tuple(hub_pc),
             halo_page=tuple(h // _HACK for h in halo_lane0))
 
-    mats, send_idx, chunk, K = build_shard_mats(coo, n_blocks)
+    mats, send_idx, chunk, K, _ = build_shard_mats(coo, n_blocks)
     S = len(mats)
     Lmax = max(m.n_rows for m in mats)
     halo_src = np.empty((S, S * K), np.int32)
@@ -485,20 +485,23 @@ def blocks_spmv(a: BlockedPackedWhell, x_st, interpret=None):
 
 def blocks_spmv_tuple(a: BlockedPackedWhell, xs: tuple, interpret=None):
     """Zero-copy ``Z = A @ X`` over a TUPLE of per-block lane-space
-    vectors (fp32 interval plans only).  Each block's state array is
-    reshaped (free) into the kernel's x operand; the halo values are
-    assembled from dynamic slices of neighbour states plus a small hub
-    gather and SPLICED INTO THE KERNEL'S x SCRATCH after the staging DMA
+    vectors (interval plans; fp32 ``(L,)`` or dd ``(2, L)`` hi/lo
+    stacks per block).  Each block's state array is reshaped (free)
+    into the kernel's x operand; the halo values are assembled from
+    dynamic slices of neighbour states plus a small hub gather and
+    SPLICED INTO THE KERNEL'S x SCRATCH after the staging DMA
     (``halo_page``), so no multi-MB buffer is copied per product — the
     stacked-state path pays ~0.3-0.45 ms of slice/update/stack traffic
     per product at the 5M class."""
     import jax.numpy as jnp
 
-    from spgpu_tpu.ops.pallas_kernels import _whell_packed_call
+    from spgpu_tpu.ops.pallas_kernels import (
+        _whell_packed_call, _whell_packed_dd_call)
 
-    if a.halo_src is not None or a.is_dd:
-        raise ValueError("blocks_spmv_tuple requires an fp32 "
+    if a.halo_src is not None:
+        raise ValueError("blocks_spmv_tuple requires an "
                          "interval-halo plan (coo_to_whell_blocks default)")
+    dd = a.is_dd
     if interpret is None:
         import jax as _jax
 
@@ -509,37 +512,67 @@ def blocks_spmv_tuple(a: BlockedPackedWhell, xs: tuple, interpret=None):
         halo_win = None
         halo_page = None
         if P:
-            parts = [jax.lax.dynamic_slice(xs[p], (a_lane,), (span,))
-                     for (p, a_lane, span, _off) in a.ivs[s]]
+            if dd:
+                parts = [jax.lax.dynamic_slice(xs[p], (0, a_lane), (2, span))
+                         for (p, a_lane, span, _off) in a.ivs[s]]
+            else:
+                parts = [jax.lax.dynamic_slice(xs[p], (a_lane,), (span,))
+                         for (p, a_lane, span, _off) in a.ivs[s]]
             for p in range(a.n_blocks):
                 c = a.hub_pc[s][p]
                 if c:
-                    parts.append(xs[p][a.hub_lanes[s, p, :c]])
-            hv = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+                    parts.append(xs[p][..., a.hub_lanes[s, p, :c]])
+            hv = jnp.concatenate(parts, axis=-1) if len(parts) > 1 \
+                else parts[0]
             wp = -(-P // _HACK)
             padw = wp * _HACK - P
             if padw:
-                hv = jnp.pad(hv, (0, padw))
-            halo_win = hv.reshape(wp, _HACK)
+                hv = jnp.pad(hv, [(0, 0)] * (hv.ndim - 1) + [(0, padw)])
+            halo_win = hv.reshape(hv.shape[:-1] + (wp, _HACK))
             halo_page = a.halo_page[s]
-        x2d = xs[s].reshape(-1, _HACK)  # x_pages == n_lane/128: free
-        z = _whell_packed_call(
-            mat.values, mat.residue, mat.page_tab, mat.seg_lo, mat.seg_hi,
-            mat.tile_base, mat.chunk_group, x2d, mat.group_bases, halo_win,
-            num_tiles=mat.num_tiles, num_groups=mat.num_groups,
-            x_pages=mat.x_pages, window_pages=mat.window_pages,
-            chunk_tiles=mat.chunk_tiles, group_hacks=mat.group_hacks,
-            halo_page=halo_page, interpret=interpret,
-        ).reshape(-1)
+        if dd:
+            x3d = xs[s].reshape(2, -1, _HACK)  # x_pages == n_lane/128
+            z = _whell_packed_dd_call(
+                mat.values, mat.values_lo, mat.residue, mat.page_tab,
+                mat.seg_lo, mat.seg_hi, mat.tile_base, mat.chunk_group,
+                x3d, halo_win,
+                num_tiles=mat.num_tiles, num_groups=mat.num_groups,
+                x_pages=mat.x_pages, window_pages=mat.window_pages,
+                chunk_tiles=mat.chunk_tiles, group_hacks=mat.group_hacks,
+                halo_page=halo_page, interpret=interpret,
+            ).reshape(2, -1)
+        else:
+            x2d = xs[s].reshape(-1, _HACK)  # x_pages == n_lane/128: free
+            z = _whell_packed_call(
+                mat.values, mat.residue, mat.page_tab, mat.seg_lo,
+                mat.seg_hi, mat.tile_base, mat.chunk_group, x2d,
+                mat.group_bases, halo_win,
+                num_tiles=mat.num_tiles, num_groups=mat.num_groups,
+                x_pages=mat.x_pages, window_pages=mat.window_pages,
+                chunk_tiles=mat.chunk_tiles, group_hacks=mat.group_hacks,
+                halo_page=halo_page, interpret=interpret,
+            ).reshape(-1)
         outs.append(z)
     return tuple(outs)
 
 
 def embed_tuple(a: BlockedPackedWhell, x):
     """Global ``(n,)`` vector -> tuple of per-block state vectors
-    (length = the block kernel's output width; zero-copy protocol)."""
+    (length = the block kernel's output width; zero-copy protocol).
+    dd: float64 ``(n,)`` -> per-block ``(2, L)`` hi/lo stacks."""
     x = np.asarray(x)
     out = []
+    if a.is_dd:
+        from spgpu_tpu.ops.dd import split as _split
+
+        pair = _split(np.asarray(x, np.float64))
+        for s, m in enumerate(a.mats):
+            lo = s * a.chunk
+            nloc = max(0, min((s + 1) * a.chunk, a.n_rows) - lo)
+            v = np.zeros((2, m.x_pages * _HACK), np.float32)
+            v[:, np.asarray(m.lane_of_row)[:nloc]] = pair[:, lo:lo + nloc]
+            out.append(v)
+        return out
     for s, m in enumerate(a.mats):
         lo = s * a.chunk
         nloc = max(0, min((s + 1) * a.chunk, a.n_rows) - lo)
@@ -553,20 +586,31 @@ def extract_tuple(a: BlockedPackedWhell, zs) -> np.ndarray:
     parts = []
     for s, m in enumerate(a.mats):
         nloc = max(0, min((s + 1) * a.chunk, a.n_rows) - s * a.chunk)
-        parts.append(np.asarray(zs[s])[np.asarray(m.lane_of_row)[:nloc]])
+        lor = np.asarray(m.lane_of_row)[:nloc]
+        if a.is_dd:
+            from spgpu_tpu.ops.dd import join as _join
+
+            parts.append(_join(np.asarray(zs[s])[:, lor]))
+        else:
+            parts.append(np.asarray(zs[s])[lor])
     return np.concatenate(parts)
 
 
 def blocks_cg(a: BlockedPackedWhell, b, x0=None, tol: float = 1e-6,
               maxiter: int = 1000, m_inv=None, interpret=None):
-    """CG over the tuple state (fp32 interval plans): the matvec is
+    """CG over the tuple state (interval plans): the matvec is
     :func:`blocks_spmv_tuple`; reductions sum per-block partials.
     ``b`` is a global ``(n,)`` host vector; returns a CgResult whose
-    ``x`` is in original numbering."""
+    ``x`` is in original numbering.  float64 systems run double-float
+    CG over tuples of ``(2, L)`` hi/lo stacks with error-free
+    cross-block reductions (the zero-copy protocol carried to the
+    D-precision class — VERDICT r3 item 8)."""
     import jax.numpy as jnp
 
     from spgpu_tpu.solvers.cg import CgResult
 
+    if a.is_dd:
+        return _blocks_cg_dd(a, b, x0, tol, maxiter, m_inv, interpret)
     bs = tuple(jnp.asarray(v) for v in embed_tuple(a, b))
     x0s = (None if x0 is None
            else tuple(jnp.asarray(v) for v in embed_tuple(a, np.asarray(x0))))
@@ -613,6 +657,96 @@ def blocks_cg(a: BlockedPackedWhell, b, x0=None, tol: float = 1e-6,
         x, r, z, p, rz, k = jax.lax.while_loop(
             cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
         rn = jnp.sqrt(tdot(r, r))
+        return x, k, rn, rn <= tol * bn
+
+    x, k, rn, conv = run(bs, mns, x0s)
+    xs = extract_tuple(a, x)
+    return CgResult(x=xs, iterations=k, residual_norm=rn, converged=conv)
+
+
+def _blocks_cg_dd(a: BlockedPackedWhell, b, x0, tol, maxiter, m_inv,
+                  interpret):
+    """Double-float CG over the tuple state: per-block ``(2, L)`` hi/lo
+    stacks through the zero-copy dd kernel (halo spliced in-kernel),
+    dd scalars, and error-free cross-block dot reductions — the tuple
+    analogue of :func:`spgpu_tpu.solvers.cg.cg_dd`."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu.ops import dd
+    from spgpu_tpu.solvers.cg import CgResult
+
+    bs = tuple(jnp.asarray(v) for v in embed_tuple(a, b))
+    x0s = (None if x0 is None
+           else tuple(jnp.asarray(v) for v in embed_tuple(a, np.asarray(x0))))
+    mns = (None if m_inv is None
+           else tuple(jnp.asarray(v) for v in _embed_minv(a, m_inv)))
+    mv = lambda v: blocks_spmv_tuple(a, v, interpret=interpret)
+    pin = jax.lax.optimization_barrier
+
+    def tdot(u, v):
+        h, l = dd.dd_dot(u[0], v[0])
+        for us, vs in zip(u[1:], v[1:]):
+            h2, l2 = dd.dd_dot(us, vs)
+            h, l = dd.dd_add_dd(h, l, h2, l2)
+        return h, l
+
+    def taxpy(alpha_pair, p, x):  # x + alpha*p, all dd, per block
+        out = []
+        for ps, xs_ in zip(p, x):
+            ph, pe = dd.dd_mul(ps[0], ps[1], alpha_pair[0], alpha_pair[1])
+            h, l = dd.dd_add_dd(xs_[0], xs_[1], ph, pe)
+            out.append(jnp.stack([h, l]))
+        return tuple(out)
+
+    def prec(v):
+        if mns is None:
+            return v
+        out = []
+        for vs, ms in zip(v, mns):
+            h, l = dd.dd_mul(vs[0], vs[1], ms, jnp.zeros_like(ms))
+            out.append(jnp.stack([h, l]))
+        return tuple(out)
+
+    @jax.jit
+    def run(bs, mns_, x0s):
+        x0t = (tuple(jnp.zeros_like(v) for v in bs) if x0s is None else x0s)
+        if x0s is None:
+            r0 = bs
+        else:
+            ax = mv(x0t)
+            r0 = tuple(
+                jnp.stack(dd.dd_add_dd(bsv[0], bsv[1], -av[0], -av[1]))
+                for bsv, av in zip(bs, ax))
+        z0 = prec(r0)
+        rz0 = tdot(r0, z0)
+        bn = jnp.sqrt(jnp.maximum(tdot(bs, bs)[0], 0.0))
+        bn = jnp.where(bn == 0, 1.0, bn)
+
+        def cond(st):
+            x, r, z, p, rz, k = st
+            return (jnp.sqrt(jnp.maximum(tdot(r, r)[0], 0.0))
+                    > tol * bn) & (k < maxiter)
+
+        def body(st):
+            x, r, z, p, rz, k = st
+            ap = pin(mv(p))
+            pap = tdot(p, ap)
+            alpha = pin(dd.dd_div(rz[0], rz[1], pap[0], pap[1]))
+            x = pin(taxpy(alpha, p, x))
+            r = pin(taxpy((-alpha[0], -alpha[1]), ap, r))
+            z = prec(r)
+            rz_new = tdot(r, z)
+            beta = pin(dd.dd_div(rz_new[0], rz_new[1], rz[0], rz[1]))
+            p = pin(tuple(
+                jnp.stack(dd.dd_add_dd(
+                    zs[0], zs[1],
+                    *dd.dd_mul(ps[0], ps[1], beta[0], beta[1])))
+                for zs, ps in zip(z, p)))
+            return (x, r, z, p, jnp.stack(rz_new), k + 1)
+
+        x, r, z, p, rz, k = jax.lax.while_loop(
+            cond, body, (x0t, r0, z0, z0, jnp.stack(rz0), jnp.int32(0)))
+        rn = jnp.sqrt(jnp.maximum(tdot(r, r)[0], 0.0))
         return x, k, rn, rn <= tol * bn
 
     x, k, rn, conv = run(bs, mns, x0s)

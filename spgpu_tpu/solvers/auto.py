@@ -100,15 +100,18 @@ def solve(
             blocks = a
             S, L = a.n_blocks, a.n_lane
             is_dd = a.is_dd
+            if symmetric and a.halo_src is None:
+                # SPD on an interval plan: the zero-copy tuple CG
+                # (fp32 or double-float — blocks_cg dispatches; the dd
+                # tuple path splices halos in-kernel and keeps
+                # error-free cross-block reductions)
+                m_inv = jacobi_preconditioner(work) if jacobi else None
+                return blocks_cg(a, np.asarray(b), x0=x0, tol=tol,
+                                 maxiter=maxiter, m_inv=m_inv)
             if is_dd:
                 mv = lambda v: jnp.swapaxes(
                     blocks_spmv(a, jnp.swapaxes(
                         v.reshape(2, S, L), 0, 1)), 0, 1).reshape(2, -1)
-            elif symmetric and a.halo_src is None:
-                # fp32 SPD on an interval plan: the zero-copy tuple CG
-                m_inv = jacobi_preconditioner(work) if jacobi else None
-                return blocks_cg(a, np.asarray(b), x0=x0, tol=tol,
-                                 maxiter=maxiter, m_inv=m_inv)
             else:
                 mv = lambda v: blocks_spmv(a, v.reshape(S, L)).reshape(-1)
         else:

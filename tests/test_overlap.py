@@ -1,0 +1,121 @@
+"""Halo/compute overlap on the packed distributed path (VERDICT r3
+missing #1): the interior/exterior slab split must be exact against the
+host golden and the single-slab schedule, in fp32 and dd, and the
+weak-scaling instrumentation must report the stage breakdown."""
+
+import numpy as np
+import pytest
+
+from spgpu_tpu.parallel.partition import make_row_mesh
+from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+from spgpu_tpu.parallel.dist_spmv import dist_spmv
+from spgpu_tpu.parallel.dist_solve import dist_cg
+from spgpu_tpu.utils.fixtures import laplacian_2d, random_irregular
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_overlap_matches_plain_and_golden(n_shards):
+    coo = random_irregular(2048, 2048, avg_nnz_per_row=8.0, seed=11,
+                           dtype=np.float32)
+    mesh = make_row_mesh(n_shards)
+    pm = partition_coo_rows_packed(coo, n_shards)  # overlap default
+    pm0 = partition_coo_rows_packed(coo, n_shards, overlap=False)
+    assert pm.overlapped and not pm0.overlapped
+    x = np.random.default_rng(2).standard_normal(coo.n_cols).astype(
+        np.float32)
+    g = coo.spmv(x)
+    z = np.asarray(dist_spmv(pm, x, mesh=mesh))
+    z0 = np.asarray(dist_spmv(pm0, x, mesh=mesh))
+    np.testing.assert_allclose(z, g, rtol=2e-5, atol=2e-5 * np.abs(g).max())
+    np.testing.assert_allclose(z0, g, rtol=2e-5, atol=2e-5 * np.abs(g).max())
+
+
+def test_overlap_dd_spmv_and_cg():
+    lap = laplacian_2d(24, 24)  # float64 -> dd slabs
+    mesh = make_row_mesh(4)
+    pm = partition_coo_rows_packed(lap, 4)
+    assert pm.is_dd and pm.overlapped
+    rng = np.random.default_rng(5)
+    xt = rng.standard_normal(lap.n_rows)
+    b = lap.spmv(xt)
+    z = np.asarray(dist_spmv(pm, b, mesh=mesh))
+    g = lap.spmv(b)
+    # the exterior product adds through the error-free dd epilogue
+    np.testing.assert_allclose(z, g, rtol=1e-12, atol=1e-12 * np.abs(g).max())
+    res = dist_cg(pm, b, mesh, tol=1e-11, maxiter=4000)
+    np.testing.assert_allclose(np.asarray(res.x), xt, rtol=1e-7, atol=1e-7)
+
+
+def test_halo_counts_and_interior_split():
+    # banded matrix: each shard needs only its neighbours' boundary rows
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    coo = random_banded(1024, bands=5, wander=2, seed=3,
+                        dtype=np.float32).sum_duplicates()
+    pm = partition_coo_rows_packed(coo, 4)
+    hc = np.array(pm.halo_counts)
+    assert hc.shape == (4, 4)
+    assert hc.diagonal().sum() == 0  # a shard never sends to itself
+    assert hc.sum() > 0  # a banded matrix does have halos
+    # interior + exterior slabs cover all entries: nnz conservation via
+    # the matvec golden is covered above; here check the exterior slab
+    # exists and is smaller than the interior
+    assert pm.ext_total_slots > 0
+    assert pm.ext_values.shape[1] <= pm.values.shape[1]
+
+
+def test_sharded_handle_device_resident_loop():
+    from spgpu_tpu.parallel.dist_spmv import ShardedHandle
+
+    coo = random_irregular(1024, 1024, avg_nnz_per_row=6.0, seed=9,
+                           dtype=np.float32)
+    pm = partition_coo_rows_packed(coo, 4)
+    h = ShardedHandle(pm, make_row_mesh(4))
+    x = np.random.default_rng(2).standard_normal(coo.n_cols).astype(
+        np.float32)
+    xs = h.embed(x)
+    zs = h.matvec(xs)
+    z2 = h.matvec(zs)  # chained, device-resident
+    g = coo.spmv(x)
+    np.testing.assert_allclose(h.extract(zs), g, rtol=2e-5,
+                               atol=2e-5 * np.abs(g).max())
+    g2 = coo.spmv(g)
+    np.testing.assert_allclose(h.extract(z2), g2, rtol=2e-5,
+                               atol=2e-5 * np.abs(g2).max())
+
+
+def test_blocks_tuple_dd_zero_copy():
+    # the dd tuple path: zero-copy state, in-kernel halo splice, dd CG
+    from spgpu_tpu.parallel.blocks import (
+        blocks_cg, blocks_spmv_tuple, coo_to_whell_blocks, embed_tuple,
+        extract_tuple)
+    import jax.numpy as jnp
+
+    lap = laplacian_2d(24, 24)  # float64 -> dd
+    a = coo_to_whell_blocks(lap, n_blocks=3)
+    assert a.is_dd and a.halo_src is None
+    rng = np.random.default_rng(5)
+    xv = rng.standard_normal(lap.n_rows)
+    xs = tuple(jnp.asarray(v) for v in embed_tuple(a, xv))
+    z = extract_tuple(a, [np.asarray(v) for v in blocks_spmv_tuple(a, xs)])
+    g = lap.spmv(xv)
+    np.testing.assert_allclose(z, g, rtol=1e-12, atol=1e-12 * np.abs(g).max())
+    xt = rng.standard_normal(lap.n_rows)
+    b = lap.spmv(xt)
+    res = blocks_cg(a, b, tol=1e-11, maxiter=4000)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, xt, rtol=1e-7, atol=1e-7)
+
+
+def test_weak_scaling_breakdown_keys():
+    from spgpu_tpu.bench.harness import run_weak_scaling
+
+    rows = run_weak_scaling(rows_per_shard=2048, shards=(1, 2), iters=3,
+                            out=None)
+    assert len(rows) == 2
+    for r in rows:
+        for key in ("t_coll_s", "t_int_s", "t_ext_s", "overlap_gain_s",
+                    "halo_lanes_used", "halo_slots_sent",
+                    "k_padding_waste"):
+            assert key in r, key
+    assert rows[1]["halo_lanes_used"] > 0
