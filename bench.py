@@ -219,8 +219,9 @@ def _suite_rows():
         "whdia_banded11_fp32_gflops", band, coo_to_whdia, whdia_spmv,
         lambda a: jnp.asarray(np.random.default_rng(1).standard_normal(
             band.n_cols), jnp.float32),
-        # 4 B value + 2 B lane-replicated r0 per cell + x/z
-        lambda a: a.values.size * 6 + band.n_rows * 8,
+        # 4 B value (+2 B lane-replicated r0 in slab mode) per cell + x/z
+        lambda a: a.values.size * (6 if a.slot_r0 is not None else 4)
+        + band.n_rows * 8,
         lambda a: 2.0 * band.nnz, iters=100 if on_tpu else 3))
 
     # -- fused 8-RHS SpMM on the FEM flagship matrix ----------------------
@@ -261,7 +262,9 @@ def _suite_rows():
             (rng_c.standard_normal(band_c.n_cols)
              + 1j * rng_c.standard_normal(band_c.n_cols))
             .astype(np.complex64))),
-        lambda a: 4 * (a.ar.values.size * 6 + band_c.n_rows * 8),
+        lambda a: 4 * (a.ar.values.size
+                       * (6 if a.ar.slot_r0 is not None else 4)
+                       + band_c.n_rows * 8),
         lambda a: 8.0 * band_c.nnz, iters=30 if on_tpu else 2))
 
     # -- BLAS-1 dot at 256 MB/vector (scalar-carry protocol, r3) ----------

@@ -179,8 +179,10 @@ def run_suite(size: str = "small", out=print):
     emit(run_config(
         "banded", "whdia_pallas", band, coo_to_whdia,
         lambda a, x: whdia_spmv(a, x),
-        # 4B value + 2B lane-replicated r0 per cell (formats/whdia.py)
-        lambda a, coo: a.values.size * 6 + coo.n_rows * 8,
+        # 4B value (+2B lane-replicated r0 in slab mode) per cell
+        # (formats/whdia.py; pattern mode is values-only)
+        lambda a, coo: a.values.size * (6 if a.slot_r0 is not None else 4)
+        + coo.n_rows * 8,
         iters=200 if big else 5,
     ))
 

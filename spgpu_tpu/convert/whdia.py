@@ -213,8 +213,6 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
     r0 = (slot_hack * _HACK + slot_diag - tb_raw[tile_of_slot] * 128)
     slot_r0 = np.zeros(total_slots, dtype=np.int16)
     slot_r0[slot_final] = r0.astype(np.int16)  # r0 ∈ [-127, 1151]
-    # lane-replicated vector operand (see formats/whdia.py slot_r0 doc)
-    slot_r0w = np.repeat(slot_r0[:, None], _HACK, axis=1)
     vals = np.zeros((total_slots, _HACK), dtype=val_dtype)
     vals[slot_final[slot_of_entry], lane[order]] = vals_in[order]
     vals_lo = None
@@ -226,16 +224,59 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
 
     import jax.numpy as jnp
 
+    # --- pattern mode (r4): when every tile's FILLED slots (always a
+    # position prefix by construction) form an arithmetic progression
+    # r0[s] = r00 + step*s — true for contiguous-band matrices, which
+    # are the HDIA bread-and-butter — r0 needs no slab at all: ONE
+    # packed scalar per tile rebuilds it in-kernel (3 scalar splats +
+    # min/mul/add), with dead slots repeating the last filled value
+    # (their cells are zero, so their gathers are inert).  Kills the
+    # 2 B/cell r0 stream — WHDIA becomes true values-only traffic (the
+    # design ideal stated in formats/whdia.py; VERDICT r3 item 5).
+    # Non-AP diagonal sets (e.g. a 2-D Laplacian's ±n offsets) and dd
+    # slabs keep the lane-replicated slab.
+    tile_r0 = None
+    if not is_dd and num_tiles:
+        r0g = np.zeros((num_tiles, 8), np.int64)
+        nfill = np.zeros(num_tiles, np.int64)
+        tf, pf = tile_final[tile_of_slot], pos_of_slot
+        r0g[tf, pf] = r0
+        np.maximum.at(nfill, tf, pf + 1)
+        pos8 = np.arange(8)
+        # per-tile AP check over the filled prefix
+        d1 = r0g[:, 1:] - r0g[:, :-1]
+        step = np.where(nfill > 1, d1[:, 0], 0)
+        is_ap = np.ones(num_tiles, bool)
+        for s in range(1, 7):
+            chk = nfill > s + 1
+            is_ap &= ~chk | (d1[:, s] == step)
+        r00 = r0g[:, 0]
+        f1 = np.maximum(nfill - 1, 0)
+        if (is_ap.all() and r00.min() >= -1024 and r00.max() < 64512
+                and step.min() >= -4096 and step.max() < 4096):
+            packed = ((r00 + 1024).astype(np.uint32)
+                      | (f1.astype(np.uint32) << np.uint32(16))
+                      | ((step + 4096).astype(np.uint32) << np.uint32(19)))
+            tile_r0 = packed.view(np.int32)
+
+    if tile_r0 is not None:
+        slot_r0_j = None
+        tile_r0_j = jnp.asarray(tile_r0)
+    else:
+        # lane-replicated vector operand (formats/whdia.py slot_r0 doc)
+        slot_r0_j = jnp.asarray(np.repeat(slot_r0[:, None], _HACK, axis=1))
+        tile_r0_j = None
     return WhdiaMatrix(
         values=jnp.asarray(vals),
         values_lo=None if vals_lo is None else jnp.asarray(vals_lo),
-        slot_r0=jnp.asarray(slot_r0w),
+        slot_r0=slot_r0_j,
         tile_base=jnp.asarray(tile_meta),
         chunk_group=jnp.asarray(chunk_group),
         n_rows=coo.n_rows, n_cols=coo.n_cols, num_hacks=num_hacks,
         num_groups=num_groups, total_slots=total_slots, nnz=m,
         x_pages=x_pages, window_pages=w,
         group_hacks=_GROUPv, chunk_tiles=_CTv,
+        tile_r0=tile_r0_j,
     )
 
 

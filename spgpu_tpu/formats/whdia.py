@@ -47,12 +47,18 @@ import numpy as np
 @dataclasses.dataclass
 class WhdiaMatrix:
     values: jax.Array  # (total_slots, 128) slot-major cells
-    slot_r0: jax.Array  # (total_slots, 128) int16, lane-replicated:
-    #   r0 = h*128 + d - 128*tile_base per slot.  Streamed as a vector
-    #   operand (2 B/cell) rather than SMEM scalars: the scalar unpack
-    #   (8 loads + vector inserts per tile) was the latency chain that
-    #   held WHDIA at ~29 cycles/tile, and per-slot SMEM words capped
-    #   the matrix size at the 1 MB SMEM budget.
+    slot_r0: Optional[jax.Array]  # (total_slots, 128) int16,
+    #   lane-replicated: r0 = h*128 + d - 128*tile_base per slot.
+    #   Streamed as a vector operand (2 B/cell) rather than SMEM
+    #   scalars: the scalar unpack (8 loads + vector inserts per tile)
+    #   was the latency chain that held WHDIA at ~29 cycles/tile, and
+    #   per-slot SMEM words capped the matrix size at the 1 MB SMEM
+    #   budget.  None in PATTERN mode (r4): when the per-tile r0 delta
+    #   patterns (r0[s] − r0[0], dead slots canonicalised) collapse to
+    #   a small set, r0 is rebuilt in-kernel from one per-tile scalar
+    #   (``tile_r0``) + compile-time pattern constants (``r0_pats``) —
+    #   a scalar splat + select tree instead of a 2 B/cell slab stream
+    #   (traffic drops to values-only, the format's design ideal).
     tile_base: jax.Array  # (num_tiles,) int32: first x page of the tile
     #   (low 16 bits) | hack index within the 32-hack group (high bits)
     chunk_group: jax.Array  # (num_tiles // 8,) int32: 8-hack group of chunk
@@ -76,6 +82,11 @@ class WhdiaMatrix:
     #: as in packed WHELL)
     group_hacks: int = dataclasses.field(default=32, metadata=dict(static=True))
     chunk_tiles: int = dataclasses.field(default=32, metadata=dict(static=True))
+    #: pattern mode (r4): per-tile packed word ``(step+4096) << 19 |
+    #: (nfill-1) << 16 | (r0_0+1024)`` (scalar prefetch operand) —
+    #: the filled slots' r0 form an arithmetic progression, rebuilt
+    #: in-kernel; see ``slot_r0``
+    tile_r0: Optional[jax.Array] = None  # (num_tiles,) int32
 
     hack_size = 128
 
@@ -103,18 +114,35 @@ class WhdiaMatrix:
     def storage_bytes(self) -> int:
         n = int(
             self.values.size * self.values.dtype.itemsize
-            + self.slot_r0.size * 2 + self.tile_base.size * 4
+            + self.tile_base.size * 4
             + self.chunk_group.size * 4
         )
+        if self.slot_r0 is not None:
+            n += int(self.slot_r0.size) * 2
+        if self.tile_r0 is not None:
+            n += int(self.tile_r0.size) * 4
         if self.values_lo is not None:
             n += int(self.values_lo.size * self.values_lo.dtype.itemsize)
         return n
+
+    def slot_r0_host(self) -> np.ndarray:
+        """Per-slot r0 scalars (total_slots,) — from the slab or
+        reconstructed from pattern mode."""
+        if self.slot_r0 is not None:
+            return np.asarray(self.slot_r0)[:, 0].astype(np.int64)
+        w = np.asarray(self.tile_r0).view(np.uint32).astype(np.int64)
+        r00 = (w & 0xFFFF) - 1024
+        f1 = (w >> 16) & 0x7
+        step = ((w >> 19) & 0x1FFF) - 4096
+        s = np.arange(8)[None, :]
+        return (r00[:, None]
+                + step[:, None] * np.minimum(s, f1[:, None])).reshape(-1)
 
     def to_dense(self) -> np.ndarray:
         vals = np.asarray(self.values)
         if self.values_lo is not None:
             vals = vals.astype(np.float64) + np.asarray(self.values_lo)
-        r0 = np.asarray(self.slot_r0)[:, 0].astype(np.int64)
+        r0 = self.slot_r0_host()
         meta = np.asarray(self.tile_base).astype(np.int64)
         tb = meta & 0xFFFF
         hh = meta >> 16

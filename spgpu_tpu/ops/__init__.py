@@ -230,11 +230,15 @@ def sdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
               fused=None):
     """Multi-RHS SpMM on SDIA (``x``: ``(n_rhs, n_cols)``).
 
-    Default for plain fp32/bf16: the FUSED kernel — SDIA is values-only
-    traffic, so one value-plane read amortises over every RHS (up to
-    ``n_rhs``× less traffic per product; the reference's host m-loop is
-    exactly N×single, ``sdot.cu:167-175``).  ``fused=False`` forces the
-    loop-of-SpMV; dd/complex always take it (``fused=True`` raises)."""
+    Default: the loop-of-SpMV under one jit — measured FASTER on chip
+    than the fused slab-sharing kernel (1M Laplacian 8-RHS: loop 278.3
+    GFLOPS agg vs fused 216.7; banded-11 340.2 vs 324.6 — the kernel is
+    op-bound per product and XLA pipelines the loop's kernels, so
+    sharing the value stream buys nothing; DESIGN §3b).  Note the loop
+    is ONE device program whose aggregate matches N×single-rate — the
+    reference's host m-loop bar (``sdot.cu:167-175``) with single-rate
+    300 GFLOPS.  ``fused=True`` opts into the fused kernel (fp32/bf16
+    only; dd/complex raise)."""
     import jax.numpy as jnp
 
     from spgpu_tpu.formats.cplanes import ComplexPlanes
@@ -247,7 +251,7 @@ def sdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
             "fused SpMM covers fp32/bf16 SDIA only; dd/complex matrices "
             "run the loop-of-SpMV path (omit fused or pass fused=False)")
     if fused is None:
-        fused = not special and a.n_diags > 0
+        fused = False
     if fused:
         from spgpu_tpu.ops.pallas_kernels import sdia_spmm_pallas
 
@@ -411,13 +415,14 @@ def whdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
                fused=None):
     """Multi-RHS SpMM on WHDIA (``x``: ``(n_rhs, n_cols)``).
 
-    Default for plain fp32/bf16: the FUSED kernel — WHDIA is near-
-    values-only traffic (4 B value + 2 B r0 per cell), so sharing one
-    slab read + arithmetic decode across statically-unrolled RHS cuts
-    per-product HBM traffic up to ``n_rhs``× (the reference's host
-    m-loop is N×single, ``sdot.cu:167-175``).  ``fused=False`` forces
-    the loop-of-SpMV; dd/complex always take it (``fused=True``
-    raises)."""
+    Default: the loop-of-SpMV under one jit — measured at PARITY with
+    the fused slab-sharing kernel on chip (banded-11 524k 8-RHS: loop
+    133.8 GFLOPS agg, fused 134.7 — the kernel is op-bound per product,
+    ~10 ns/tile-RHS either way, so sharing the slab read saves traffic
+    the VPU can't use; DESIGN §3b).  The loop is one device program at
+    N×single-rate — the reference's host m-loop bar
+    (``sdot.cu:167-175``).  ``fused=True`` opts into the fused kernel
+    (fp32/bf16 only; dd/complex raise)."""
     import jax.numpy as jnp
 
     from spgpu_tpu.formats.cplanes import ComplexPlanes
@@ -430,7 +435,7 @@ def whdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
             "fused SpMM covers fp32/bf16 WHDIA only; dd/complex matrices "
             "run the loop-of-SpMV path (omit fused or pass fused=False)")
     if fused is None:
-        fused = not special
+        fused = False
     if fused:
         from spgpu_tpu.ops.pallas_kernels import whdia_spmm_pallas
 

@@ -118,7 +118,8 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, chunk_group,
 
 
 def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
-                         group_hacks, scattered=False, halo_page=None):
+                         group_hacks, scattered=False, halo_page=None,
+                         pipeline=0):
     """Packed-lane WHELL SpMV.
 
     Same streaming skeleton as :func:`_whell_kernel`, plus:
@@ -179,11 +180,17 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
         zacc[:] = jnp.zeros_like(zacc)
 
     ntab = window_pages // 8
-    for k in range(chunk_tiles):
-        t = c * chunk_tiles + k
-        meta = tmeta_ref[t]
-        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
-        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+
+    def _loads(k):
+        """Slab loads + casts for tile k (pipeline stage 1)."""
+        return (tmeta_ref[c * chunk_tiles + k],
+                res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32),
+                pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32),
+                vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype))
+
+    def _select(meta, pt):
+        """Window resolve: sublane gathers + select tree (stage 2).
+        Returns (h1, hh)."""
         if scattered:
             gidx = jax.lax.bitwise_and(meta, jnp.int32(0xFFFFF))
             hh = jax.lax.shift_right_logical(meta, jnp.int32(20))
@@ -194,23 +201,67 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
                 winb = x_vmem[pl.ds(gbase_ref[gidx * ntab + wb], 8), :]
                 hb = jnp.take_along_axis(winb, pt7, axis=0)
                 h1 = hb if h1 is None else jnp.where(blk == wb, hb, h1)
-        else:
-            base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
-            hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
-            win = x_vmem[pl.ds(base, 8), :]
-            if window_pages == 8:
-                h1 = jnp.take_along_axis(win, pt, axis=0)
-            else:
-                pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
-                blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
-                h1 = jnp.take_along_axis(win, pt7, axis=0)
-                for wb in range(1, ntab):
-                    winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
-                    hb = jnp.take_along_axis(winb, pt7, axis=0)
-                    h1 = jnp.where(blk == wb, hb, h1)
-        g = jnp.take_along_axis(h1, res, axis=1)
-        v = vals_ref[k * 8:(k + 1) * 8, :].astype(zacc.dtype)
-        zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += (v * g)[None]
+            return h1, hh
+        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        win = x_vmem[pl.ds(base, 8), :]
+        if window_pages == 8:
+            return jnp.take_along_axis(win, pt, axis=0), hh
+        pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+        blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+        h1 = jnp.take_along_axis(win, pt7, axis=0)
+        for wb in range(1, ntab):
+            winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
+            hb = jnp.take_along_axis(winb, pt7, axis=0)
+            h1 = jnp.where(blk == wb, hb, h1)
+        return h1, hh
+
+    if pipeline == 0:
+        for k in range(chunk_tiles):
+            meta, res, pt, v = _loads(k)
+            h1, hh = _select(meta, pt)
+            g = jnp.take_along_axis(h1, res, axis=1)
+            zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += (v * g)[None]
+    elif pipeline == 1:
+        # software-pipeline the slab loads/casts one tile ahead of the
+        # gather chain (DESIGN §2f: the ~3.8 ns/tile diffuse compute is
+        # an ILP/scheduling gap — give Mosaic an explicit overlap)
+        nxt = _loads(0)
+        for k in range(chunk_tiles):
+            meta, res, pt, v = nxt
+            if k + 1 < chunk_tiles:
+                nxt = _loads(k + 1)
+            h1, hh = _select(meta, pt)
+            g = jnp.take_along_axis(h1, res, axis=1)
+            zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += (v * g)[None]
+    elif pipeline == 2:
+        # two-stage: ALSO run tile k+1's window resolve (sublane
+        # gathers + selects) before tile k's lane gather + RMW, so the
+        # two gather units' chains interleave across tiles
+        nxt = _loads(0)
+        nsel = _select(nxt[0], nxt[2])
+        for k in range(chunk_tiles):
+            meta, res, pt, v = nxt
+            h1, hh = nsel
+            if k + 1 < chunk_tiles:
+                nxt = _loads(k + 1)
+                nsel = _select(nxt[0], nxt[2])
+            g = jnp.take_along_axis(h1, res, axis=1)
+            zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += (v * g)[None]
+    else:
+        # three-stage: the WHOLE gather chain (loads, window resolve,
+        # lane gather) runs one tile ahead; the loop body retires only
+        # fma + RMW for tile k
+        nxt = _loads(0)
+        nsel = _select(nxt[0], nxt[2])
+        ng = jnp.take_along_axis(nsel[0], nxt[1], axis=1)
+        for k in range(chunk_tiles):
+            v, hh, g = nxt[3], nsel[1], ng
+            if k + 1 < chunk_tiles:
+                nxt = _loads(k + 1)
+                nsel = _select(nxt[0], nxt[2])
+                ng = jnp.take_along_axis(nsel[0], nxt[1], axis=1)
+            zacc[pl.ds(hh + (k % 2) * group_hacks, 1), :, :] += (v * g)[None]
 
     # flush: last chunk of this 8-hack group (trailing -1 sentinel makes
     # the final chunk compare unequal)
@@ -237,13 +288,13 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
-    "group_hacks", "halo_page", "interpret"))
+    "group_hacks", "halo_page", "pipeline", "interpret"))
 def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
                        tile_base, chunk_group, x2d, group_bases=None,
                        halo_win=None, *,
                        num_tiles, num_groups, x_pages, window_pages,
                        chunk_tiles, group_hacks, halo_page=None,
-                       interpret=False):
+                       pipeline=0, interpret=False):
     ct, gh = chunk_tiles, group_hacks
     scattered = group_bases is not None
     num_chunks = num_tiles // ct
@@ -277,7 +328,8 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
     return pl.pallas_call(
         functools.partial(_whell_packed_kernel, window_pages=window_pages,
                           chunk_tiles=ct, group_hacks=gh,
-                          scattered=scattered, halo_page=halo_page),
+                          scattered=scattered, halo_page=halo_page,
+                          pipeline=pipeline),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), x2d.dtype),
         interpret=interpret,
@@ -965,9 +1017,43 @@ def pcell_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     return alpha * acc + beta * y
 
 
-def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
-                  x_hbm_ref, z_ref, zacc, x_vmem, xsem, *, window_pages,
-                  chunk_tiles=_WHDIA_CT, group_hacks=32):
+def _whdia_tile_r0(tr0_ref, t, siota):
+    """Rebuild a tile's (8, 128) r0 from ONE packed scalar (pattern
+    mode, r4): the tile's filled slots form an arithmetic progression
+    ``r0[s] = r00 + step*min(s, F-1)`` (dead slots repeat the last
+    filled — their values are zero so their gathers are inert).  Word
+    layout: ``(step+4096) << 19 | (F-1) << 16 | (r00+1024)``.  Cost: 3
+    scalar splats + min/mul/add — replaces the 2 B/cell lane-replicated
+    slab stream."""
+    wv = tr0_ref[t]
+    r00 = jax.lax.bitwise_and(wv, jnp.int32(0xFFFF)) - jnp.int32(1024)
+    f1 = jax.lax.bitwise_and(
+        jax.lax.shift_right_logical(wv, jnp.int32(16)), jnp.int32(0x7))
+    step = jax.lax.bitwise_and(
+        jax.lax.shift_right_logical(wv, jnp.int32(19)),
+        jnp.int32(0x1FFF)) - jnp.int32(4096)
+    return r00 + step * jnp.minimum(siota, f1)
+
+
+def _whdia_kernel(*refs, window_pages,
+                  chunk_tiles=_WHDIA_CT, group_hacks=32, pat_mode=False):
+    if pat_mode:
+        (tmeta_ref, cgroup_ref, tr0_ref, vals_ref,
+         x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
+    else:
+        (tmeta_ref, cgroup_ref, vals_ref, r0_ref,
+         x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
+    return _whdia_kernel_body(
+        tmeta_ref, cgroup_ref,
+        (tr0_ref if pat_mode else r0_ref), vals_ref,
+        x_hbm_ref, z_ref, zacc, x_vmem, xsem, window_pages=window_pages,
+        chunk_tiles=chunk_tiles, group_hacks=group_hacks, pat_mode=pat_mode)
+
+
+def _whdia_kernel_body(tmeta_ref, cgroup_ref, r0_src, vals_ref,
+                       x_hbm_ref, z_ref, zacc, x_vmem, xsem, *, window_pages,
+                       chunk_tiles=_WHDIA_CT, group_hacks=32,
+                       pat_mode=False):
     """WHDIA SpMV: near-values-only traffic.  Each slot's x window is the
     contiguous rotation x[h*128 + d + lane]; both gather index sets are
     reconstructed arithmetically from r0 (see formats/whdia.py), which is
@@ -999,11 +1085,15 @@ def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
         zacc[:] = jnp.zeros_like(zacc)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    siota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     for k in range(chunk_tiles):
         t = c * chunk_tiles + k
         meta = tmeta_ref[t]  # base page | hack-in-group << 16
         base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
-        r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        if pat_mode:
+            r0 = _whdia_tile_r0(r0_src, t, siota)
+        else:
+            r0 = r0_src[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
         rr = jax.lax.bitwise_and(r0, jnp.int32(127))
         # rotation bijection: residue l comes from page rq (+1 if l < rr)
@@ -1042,23 +1132,27 @@ def _whdia_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
         z_ref[:] = acc.sum(axis=(0, 2))
 
 
-@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles", "group_hacks", "interpret"))
+@functools.partial(jax.jit, static_argnames=("num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles", "group_hacks", "pat_mode", "interpret"))
 def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
-                     x2d, *, num_tiles, num_groups, x_pages,
+                     x2d, tile_r0=None, *, num_tiles, num_groups, x_pages,
                      window_pages=8, chunk_tiles=_WHDIA_CT, group_hacks=32,
-                     interpret=False):
+                     pat_mode=False, interpret=False):
     ct, gh = chunk_tiles, group_hacks
     num_chunks = num_tiles // ct
+    pat = pat_mode
+    in_specs = [
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
+    ]
+    if not pat:
+        in_specs.insert(0, pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if pat else 2,
         grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # x2d (HBM, staged once)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (gh, 128), lambda c, tm, cg: (cg[c], 0)
+            (gh, 128), (lambda c, tm, cg, tr: (cg[c], 0)) if pat
+            else (lambda c, tm, cg: (cg[c], 0))
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * gh, 8, 128), values.dtype),  # dual accumulators
@@ -1066,18 +1160,21 @@ def _whdia_spmv_call(values, slot_r0, tile_base, chunk_group,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    ops = ((tile_base, chunk_group, tile_r0, values, x2d) if pat
+           else (tile_base, chunk_group, values, slot_r0, x2d))
     return pl.pallas_call(
         functools.partial(_whdia_kernel, window_pages=window_pages,
-                          chunk_tiles=ct, group_hacks=gh),
+                          chunk_tiles=ct, group_hacks=gh, pat_mode=pat),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), values.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128,
-            bytes_accessed=num_tiles * 8 * 128 * 6 + x_pages * 128 * 4,
+            bytes_accessed=num_tiles * 8 * 128 * (4 if pat else 6)
+            + x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(tile_base, chunk_group, values, slot_r0, x2d)
+    )(*ops)
 
 
 def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
@@ -1100,10 +1197,12 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
 
     x2d = _prep_x(x, a.n_cols, a.x_pages)
     z = _whdia_spmv_call(
-        a.values, a.slot_r0, a.tile_base, a.chunk_group, x2d,
+        a.values, a.slot_r0, a.tile_base, a.chunk_group, x2d, a.tile_r0,
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
         window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
-        group_hacks=a.group_hacks, interpret=interpret,
+        group_hacks=a.group_hacks,
+        pat_mode=a.tile_r0 is not None,
+        interpret=interpret,
     )
     acc = z.reshape(-1)[: a.n_rows]
     is_zero = isinstance(beta, (int, float)) and beta == 0
@@ -1112,9 +1211,8 @@ def whdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     return alpha * acc + beta * y
 
 
-def _whdia_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
-                       x_hbm_ref, z_ref, zacc, x_vmem, xsem, *,
-                       window_pages, chunk_tiles, group_hacks, n_rhs):
+def _whdia_spmm_kernel(*refs, window_pages, chunk_tiles, group_hacks,
+                       n_rhs, pat_mode=False):
     """Fused multi-RHS WHDIA SpMM: WHDIA is the VALUES-ONLY-traffic
     format (4 B value + 2 B r0 per cell, indices reconstructed
     arithmetically), so sharing one slab read + decode across ``n_rhs``
@@ -1122,6 +1220,12 @@ def _whdia_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
     ``n_rhs``× — where the packed-WHELL fused win was only ~1.14×
     (it shares decode, not much traffic).  Reference bar: the host
     m-loop ``sdot.cu:167-175`` costs exactly N×single."""
+    if pat_mode:
+        (tmeta_ref, cgroup_ref, tr0_ref, vals_ref,
+         x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
+    else:
+        (tmeta_ref, cgroup_ref, vals_ref, r0_ref,
+         x_hbm_ref, z_ref, zacc, x_vmem, xsem) = refs
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -1139,13 +1243,17 @@ def _whdia_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
         zacc[:] = jnp.zeros_like(zacc)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    siota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     for k in range(chunk_tiles):
         t = c * chunk_tiles + k
         meta = tmeta_ref[t]
         base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
         hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
         # decode ONCE per tile, shared by every RHS
-        r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        if pat_mode:
+            r0 = _whdia_tile_r0(tr0_ref, t, siota)
+        else:
+            r0 = r0_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
         rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
         rr = jax.lax.bitwise_and(r0, jnp.int32(127))
         pt = jnp.clip(rq + (lane < rr).astype(jnp.int32), 0,
@@ -1182,43 +1290,51 @@ def _whdia_spmm_kernel(tmeta_ref, cgroup_ref, vals_ref, r0_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
-    "group_hacks", "n_rhs", "interpret"))
-def _whdia_spmm_call(values, slot_r0, tile_base, chunk_group, x3d, *,
+    "group_hacks", "n_rhs", "pat_mode", "interpret"))
+def _whdia_spmm_call(values, slot_r0, tile_base, chunk_group, x3d,
+                     tile_r0=None, *,
                      num_tiles, num_groups, x_pages, window_pages=8,
                      chunk_tiles=_WHDIA_CT, group_hacks=32, n_rhs=1,
-                     interpret=False):
+                     pat_mode=False, interpret=False):
     ct, gh = chunk_tiles, group_hacks
     num_chunks = num_tiles // ct
+    pat = pat_mode
+    in_specs = [
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # x3d (n_rhs, pages, 128)
+    ]
+    if not pat:
+        in_specs.insert(0, pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if pat else 2,
         grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # x3d (n_rhs, pages, 128)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (n_rhs, gh, 128), lambda c, tm, cg: (0, cg[c], 0)),
+            (n_rhs, gh, 128), (lambda c, tm, cg, tr: (0, cg[c], 0)) if pat
+            else (lambda c, tm, cg: (0, cg[c], 0))),
         scratch_shapes=[
             pltpu.VMEM((n_rhs, 2 * gh, 8, 128), values.dtype),
             pltpu.VMEM((n_rhs, x_pages, 128), values.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
+    ops = ((tile_base, chunk_group, tile_r0, values, x3d) if pat
+           else (tile_base, chunk_group, values, slot_r0, x3d))
     return pl.pallas_call(
         functools.partial(_whdia_spmm_kernel, window_pages=window_pages,
-                          chunk_tiles=ct, group_hacks=gh, n_rhs=n_rhs),
+                          chunk_tiles=ct, group_hacks=gh, n_rhs=n_rhs,
+                          pat_mode=pat),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_rhs, num_groups * gh, 128), values.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * num_tiles * 8 * 128 * n_rhs,
-            bytes_accessed=num_tiles * 8 * 128 * 6
+            bytes_accessed=num_tiles * 8 * 128 * (4 if pat else 6)
             + n_rhs * x_pages * 128 * 4,
             transcendentals=0,
         ),
-    )(tile_base, chunk_group, values, slot_r0, x3d)
+    )(*ops)
 
 
 def whdia_spmm_pallas(a, x, interpret: bool = False, rhs_per_pass=None):
@@ -1247,6 +1363,12 @@ def whdia_spmm_pallas(a, x, interpret: bool = False, rhs_per_pass=None):
                 rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES
                 or a.chunk_tiles * rhs_per_pass > _SPMM_UNROLL_BUDGET):
             rhs_per_pass -= 1
+    if interpret:
+        # interpret mode (CI): the emulated unrolled body compiles
+        # through XLA:CPU, whose compiler has segfaulted on very large
+        # fused programs late in a long test session — keep the
+        # per-pass program small (no perf surface off-TPU)
+        rhs_per_pass = min(rhs_per_pass, 2)
     rhs_per_pass = max(1, min(rhs_per_pass, n_rhs))
     pad = a.x_pages * 128 - a.n_cols
     x3 = jnp.pad(x, ((0, 0), (0, pad))) if pad else x
@@ -1256,11 +1378,12 @@ def whdia_spmm_pallas(a, x, interpret: bool = False, rhs_per_pass=None):
         rp = min(rhs_per_pass, n_rhs - r0)
         z = _whdia_spmm_call(
             a.values, a.slot_r0, a.tile_base, a.chunk_group,
-            x3[r0:r0 + rp],
+            x3[r0:r0 + rp], a.tile_r0,
             num_tiles=a.num_tiles, num_groups=a.num_groups,
             x_pages=a.x_pages, window_pages=a.window_pages,
             chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
-            n_rhs=rp, interpret=interpret,
+            n_rhs=rp, pat_mode=a.tile_r0 is not None,
+            interpret=interpret,
         )
         outs.append(z.reshape(rp, -1)[:, : a.n_rows])
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -1449,13 +1572,17 @@ def _prep_x(x, n_cols: int, x_pages: int):
 
 
 def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
-                      interpret: bool = False):
+                      interpret: bool = False, pipeline: int = 1):
     """``z = beta*y + alpha*(A @ x)`` on the WHELL layout.
 
     Semantics match ``spgpu?hellspmv`` (``hell_spmv_base.cuh:103-157``):
     static ``beta == 0`` never reads ``y``; a row permutation (OELL) is
     applied on the output.  Single-RHS; see :func:`whell_spmm_pallas`
-    for the fused multi-RHS variant.
+    for the fused multi-RHS variant.  ``pipeline`` (packed layout only)
+    selects the software-pipelined kernel schedules (DESIGN §2f: the
+    measured effect is ~1%, i.e. Mosaic already schedules across the
+    unrolled tile bodies; 1 = loads one tile ahead, the best-of-sweep
+    default).
     """
     from spgpu_tpu.formats.whell import PanelledWhell, SegmentedWhell
 
@@ -1496,7 +1623,7 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
             num_tiles=a.num_tiles, num_groups=a.num_groups,
             x_pages=a.x_pages, window_pages=a.window_pages,
             chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
-            interpret=interpret,
+            pipeline=pipeline, interpret=interpret,
         )
         acc = z.reshape(-1)[: a.n_rows]
         is_zero = isinstance(beta, (int, float)) and beta == 0
@@ -1744,6 +1871,9 @@ def sdia_spmm_pallas(a, x, interpret: bool = False, rhs_per_pass=None):
         while rhs_per_pass > 1 and (
                 rhs_per_pass * per_rhs > _X_VMEM_LIMIT_BYTES):
             rhs_per_pass -= 1
+    if interpret:
+        # same XLA:CPU big-program guard as whdia_spmm_pallas
+        rhs_per_pass = min(rhs_per_pass, 2)
     rhs_per_pass = max(1, min(rhs_per_pass, n_rhs))
     # keep the unrolled body (ct * nd * rhs_per_pass) inside the Mosaic
     # compile budget by shrinking the chunk, not the fusion width

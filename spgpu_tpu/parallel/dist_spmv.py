@@ -66,8 +66,14 @@ def local_matvec(pm, axis: str, lpm, x_local):
             halo = jax.lax.all_to_all(send, axis, 1, 1).reshape(2, -1)
             xf = xl.at[:, lpm.halo_lanes[0]].set(halo)
         a = pm.local_view(lpm)
-        if not pm.overlapped:
-            z = whell_spmv(a, xf[..., : a.n_cols])
+        # static skip: a partition with NO halo anywhere (1 shard, or a
+        # block-diagonal matrix) has an empty exterior slab on every
+        # shard — the second kernel would cost ~30 us of pure overhead
+        # (measured on chip, 262k 1-device mesh: 0.137 -> 0.171 ms)
+        no_halo = bool(pm.halo_counts) and not any(
+            c for row in pm.halo_counts for c in row)
+        if not pm.overlapped or no_halo:
+            z = whell_spmv(a, (xl if no_halo else xf)[..., : a.n_cols])
             return z[None]
         # overlapped schedule: the interior product reads only the
         # PRE-exchange local x, so XLA's async-collective scheduler can

@@ -44,8 +44,13 @@ def test_traffic_models_match_storage():
     band = random_banded(20000, bands=11, wander=7, seed=2,
                          dtype=np.float32).sum_duplicates()
     d = coo_to_whdia(band)
-    model = d.values.size * 6  # 4B value + 2B lane-replicated r0
-    slabs = int(d.values.size) * 4 + int(d.slot_r0.size) * 2
+    if d.slot_r0 is not None:
+        model = d.values.size * 6  # 4B value + 2B lane-replicated r0
+        slabs = int(d.values.size) * 4 + int(d.slot_r0.size) * 2
+    else:
+        # pattern mode: values-only traffic + 4B/tile packed scalars
+        model = d.values.size * 4
+        slabs = int(d.values.size) * 4 + int(d.tile_r0.size) * 4
     assert abs(model - slabs) / slabs < 0.02
 
 

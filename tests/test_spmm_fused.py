@@ -20,11 +20,13 @@ def test_sdia_spmm_fused_golden():
     a = coo_to_sdia(lap)
     x = np.random.default_rng(1).standard_normal(
         (5, lap.n_cols)).astype(np.float32)
-    z = np.asarray(ops.sdia_spmm(a, jnp.asarray(x)))
     g = _golden(lap, x)
+    # default (loop, the measured-faster path) and the opt-in fused
+    # kernel both match the host golden
+    z = np.asarray(ops.sdia_spmm(a, jnp.asarray(x)))
     np.testing.assert_allclose(z, g, rtol=2e-5, atol=2e-5)
-    z_loop = np.asarray(ops.sdia_spmm(a, jnp.asarray(x), fused=False))
-    np.testing.assert_allclose(z, z_loop, rtol=2e-6, atol=2e-6)
+    z_fused = np.asarray(ops.sdia_spmm(a, jnp.asarray(x), fused=True))
+    np.testing.assert_allclose(z_fused, g, rtol=2e-5, atol=2e-5)
 
 
 def test_whdia_spmm_fused_golden_and_epilogue():
@@ -34,12 +36,15 @@ def test_whdia_spmm_fused_golden_and_epilogue():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((8, band.n_cols)).astype(np.float32)
     g = _golden(band, x)
-    z = np.asarray(ops.whdia_spmm(a, jnp.asarray(x)))
+    z = np.asarray(ops.whdia_spmm(a, jnp.asarray(x), fused=True))
     np.testing.assert_allclose(z, g, rtol=2e-5,
                                atol=2e-5 * np.abs(g).max())
+    zl = np.asarray(ops.whdia_spmm(a, jnp.asarray(x)))
+    np.testing.assert_allclose(zl, g, rtol=2e-5,
+                               atol=2e-5 * np.abs(g).max())
     y = rng.standard_normal((8, band.n_rows)).astype(np.float32)
-    z2 = np.asarray(ops.whdia_spmm(a, jnp.asarray(x), alpha=2.0, beta=0.5,
-                                   y=jnp.asarray(y)))
+    z2 = np.asarray(ops.whdia_spmm(a, jnp.asarray(x), fused=True,
+                                   alpha=2.0, beta=0.5, y=jnp.asarray(y)))
     np.testing.assert_allclose(z2, 2 * g + 0.5 * y, rtol=2e-5,
                                atol=2e-5 * np.abs(g).max())
 

@@ -33,10 +33,15 @@ def test_layout_roundtrip(name):
     a = coo_to_whdia(coo)
     np.testing.assert_array_equal(a.to_dense(), coo.to_dense())
     assert a.total_slots % 64 == 0
-    # r0 values fit the 8-page window and the slab is lane-replicated
-    r0 = np.asarray(a.slot_r0).astype(np.int64)
-    assert r0.max() < 1024 and r0.min() >= -127
-    assert (r0 == r0[:, :1]).all()
+    # r0 values fit the window (slab mode: lane-replicated; pattern
+    # mode: reconstructed per-slot scalars)
+    if a.slot_r0 is not None:
+        r0w = np.asarray(a.slot_r0).astype(np.int64)
+        assert (r0w == r0w[:, :1]).all()
+        r0 = r0w[:, 0]
+    else:
+        r0 = a.slot_r0_host()
+    assert r0.max() < 1024 * (a.window_pages // 8 + 1) and r0.min() >= -127
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
