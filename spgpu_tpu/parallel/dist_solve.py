@@ -36,8 +36,12 @@ def _dist_solve(
     m_inv: Optional[jax.Array] = None,
     axis: str = "rows",
 ):
-    from spgpu_tpu.parallel.partition_packed import PackedPartition
+    from spgpu_tpu.parallel.partition_packed import (
+        ComplexPackedPartition, PackedPartition)
 
+    if isinstance(pm, ComplexPackedPartition):
+        return _dist_solve_cplx(solver, pm, b, mesh, x0, tol, maxiter,
+                                m_inv, axis)
     if isinstance(pm, PackedPartition):
         return _dist_solve_packed(solver, pm, b, mesh, x0, tol, maxiter,
                                   m_inv, axis)
@@ -144,8 +148,58 @@ def _dist_solve_packed(
     return res._replace(x=x)
 
 
+def _dist_solve_cplx(solver, pm, b, mesh, x0, tol, maxiter, m_inv, axis):
+    """Distributed COMPLEX Krylov solve on a
+    :class:`~spgpu_tpu.parallel.partition_packed.ComplexPackedPartition`:
+    4 plane products per shard matvec (overlapped with the halo
+    all-to-all), hermitian-CG / BiCGSTAB on plane stacks with mesh-wide
+    reductions (C: ``psum``; Z: error-free dd all-reduce).  The
+    reference ships C/Z unconditionally (``hdia_zspmv.cu``,
+    ``zdot.cu``) — this is the mesh-path analogue."""
+    import numpy as np
+
+    from spgpu_tpu.parallel.dist_spmv import local_matvec
+    from spgpu_tpu.solvers.cg import (
+        bicgstab_planes, bicgstab_planes_dd, cg_herm_planes,
+        cg_herm_planes_dd)
+
+    if m_inv is not None:
+        raise NotImplementedError(
+            "preconditioning is not supported on the complex plane "
+            "solvers yet")
+    herm = solver is _cg
+    if pm.is_dd:
+        fn = cg_herm_planes_dd if herm else bicgstab_planes_dd
+    else:
+        fn = cg_herm_planes if herm else bicgstab_planes
+
+    def put(arr):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(axis)))
+
+    bp = put(pm.embed(np.asarray(b)))
+    x0p = put(pm.embed(np.asarray(x0))) if x0 is not None else (
+        jnp.zeros_like(bp))
+    pm_s = shard_partitioned(pm, mesh, axis)
+
+    def shard_body(lpm, b_l, x0_l):
+        mv = lambda v: local_matvec(pm, axis, lpm, v[None])[0]
+        res = fn(mv, b_l[0], x0=x0_l[0], tol=tol, maxiter=maxiter,
+                 axis_name=axis)
+        return res._replace(x=res.x[None])
+
+    in_specs = (_leaf_spec(pm, axis), P(axis), P(axis))
+    out_specs = CgResult(
+        x=P(axis), iterations=P(), residual_norm=P(), converged=P())
+    f = jax.jit(
+        jax.shard_map(shard_body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    )
+    res = f(pm_s, bp, x0p)
+    return res._replace(x=pm.extract(np.asarray(res.x)))
+
+
 def dist_cg(pm, b, mesh, **kw):
-    """Distributed preconditioned CG (SPD systems)."""
+    """Distributed preconditioned CG (SPD / hermitian-PD systems)."""
     return _dist_solve(_cg, pm, b, mesh, **kw)
 
 

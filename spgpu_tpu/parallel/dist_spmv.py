@@ -51,8 +51,49 @@ def local_matvec(pm, axis: str, lpm, x_local):
     :class:`PartitionedWhell`, or the portable XLA path for a
     :class:`PartitionedMatrix`.
     """
-    from spgpu_tpu.parallel.partition_packed import PackedPartition
+    from spgpu_tpu.parallel.partition_packed import (
+        ComplexPackedPartition, PackedPartition)
     from spgpu_tpu.parallel.partition_whell import PartitionedWhell
+
+    if isinstance(pm, ComplexPackedPartition):
+        import types
+
+        from spgpu_tpu.ops import _complex_plane_spmv, whell_spmv
+
+        xl = x_local[0]  # (2, L) [re, im] | (2, 2, L) Z
+        rp = pm.ar
+        send = xl[..., lpm.ar.send_lane_idx[0]]  # (..., S, K)
+        halo = jax.lax.all_to_all(send, axis, send.ndim - 2,
+                                  send.ndim - 2)
+        halo = halo.reshape(halo.shape[:-2] + (-1,))
+        xf = xl.at[..., lpm.ar.halo_lanes[0]].set(halo)
+
+        def pair(ext=False):
+            if ext:
+                return types.SimpleNamespace(
+                    ar=rp.local_view_ext(lpm.ar),
+                    ai=pm.ai.local_view_ext(lpm.ai), is_dd=pm.is_dd)
+            return types.SimpleNamespace(
+                ar=rp.local_view(lpm.ar), ai=pm.ai.local_view(lpm.ai),
+                is_dd=pm.is_dd)
+
+        a = pair()
+        sub = lambda m, v: whell_spmv(m, v)
+        nc = a.ar.n_cols
+        no_halo = bool(rp.halo_counts) and not any(
+            c for row in rp.halo_counts for c in row)
+        if not pm.overlapped or no_halo:
+            z = _complex_plane_spmv(
+                sub, a, (xl if no_halo else xf)[..., :nc], 1.0, 0.0, None)
+            return z[None]
+        # overlapped: 4 interior products on the pre-exchange x run
+        # concurrently with the all-to-all; the exterior plane products
+        # add through the complex beta=1 epilogue (dd: error-free)
+        z_int = _complex_plane_spmv(sub, a, xl[..., :nc], 1.0, 0.0, None)
+        a_ext = pair(ext=True)
+        z = _complex_plane_spmv(sub, a_ext, xf[..., :a_ext.ar.n_cols],
+                                1.0, 1.0, z_int)
+        return z[None]
 
     if isinstance(pm, PackedPartition):
         from spgpu_tpu.ops import whell_spmv
@@ -132,9 +173,11 @@ def dist_spmv(
     """
     import numpy as np
 
-    from spgpu_tpu.parallel.partition_packed import PackedPartition
+    from spgpu_tpu.parallel.partition_packed import (
+        ComplexPackedPartition, PackedPartition)
 
-    if isinstance(pm, PackedPartition):
+    packedish = isinstance(pm, (PackedPartition, ComplexPackedPartition))
+    if packedish:
         xp = jax.device_put(jax.numpy.asarray(pm.embed(np.asarray(x))),
                             NamedSharding(mesh, P(axis)))
     else:
@@ -153,7 +196,7 @@ def dist_spmv(
         )
     )
     z = f(pm_s, xp)
-    if isinstance(pm, PackedPartition):
+    if packedish:
         return jax.numpy.asarray(pm.extract(np.asarray(z)))
     return z.reshape(-1)[: pm.n_rows]
 

@@ -42,8 +42,8 @@ from spgpu_tpu.core import round_up
 from spgpu_tpu.formats import CooMatrix, WhellMatrix
 from spgpu_tpu.convert.whell import coo_to_whell
 
-__all__ = ["PackedPartition", "partition_coo_rows_packed",
-           "build_shard_mats"]
+__all__ = ["PackedPartition", "ComplexPackedPartition",
+           "partition_coo_rows_packed", "build_shard_mats"]
 
 _HACK = 128
 
@@ -254,13 +254,12 @@ def build_shard_mats(coo: CooMatrix, n_shards: int,
     if coo.n_rows != coo.n_cols:
         raise ValueError("halo-partitioned SpMV requires a square matrix")
     if np.issubdtype(np.dtype(coo.values.dtype), np.complexfloating):
-        # the stacking below keys fp32-vs-dd only; a complex COO would
-        # reach coo_to_whell as a WhellComplex plane pair the stacker
-        # was never built for — fail loudly (VERDICT r3 missing #3)
+        # complex goes through ComplexPackedPartition (plane pairs);
+        # this stacker keys fp32-vs-dd only
         raise ValueError(
-            "complex matrices are not supported by the packed partition "
-            "yet; use the classic partition (partition_coo_rows) or a "
-            "single-device complex layout")
+            "complex matrices partition as plane pairs — use "
+            "partition_coo_rows_packed (which dispatches to "
+            "ComplexPackedPartition) rather than build_shard_mats")
     n = coo.n_rows
     chunk = round_up(-(-n // n_shards), _HACK)
     owner_r = coo.rows // chunk
@@ -429,12 +428,70 @@ def _stack_side(mats, gh: int, ct: int, wsel: int, is_dd: bool, ng_c: int):
     return leaves, tiles_c
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ComplexPackedPartition:
+    """Row-partitioned COMPLEX square matrix as a plane pair: two real
+    :class:`PackedPartition`s (re, im) sharing one deterministic halo
+    plan and lane space (the planes have identical sparsity patterns,
+    so the converters produce identical layouts).  The distributed SpMV
+    runs the four real plane products per shard; state vectors are
+    ``(S, 2, L)`` [re, im] lane-space stacks (Z / complex128: planes
+    are double-float, state ``(S, 2, 2, L)``).  C/Z coverage of the
+    mesh path — the reference ships C/Z unconditionally
+    (``hdia_zspmv.cu``, ``zdot.cu``)."""
+
+    ar: PackedPartition
+    ai: PackedPartition
+
+    @property
+    def is_dd(self) -> bool:
+        return self.ar.is_dd
+
+    @property
+    def n_rows(self) -> int:
+        return self.ar.n_rows
+
+    @property
+    def n_shards(self) -> int:
+        return self.ar.n_shards
+
+    @property
+    def n_lane(self) -> int:
+        return self.ar.n_lane
+
+    @property
+    def chunk(self) -> int:
+        return self.ar.chunk
+
+    @property
+    def overlapped(self) -> bool:
+        return self.ar.overlapped
+
+    def embed(self, x) -> np.ndarray:
+        """Complex global ``(n,)`` → ``(S, 2, L)`` [re, im] stacks
+        (Z: ``(S, 2, 2, L)`` [re, im] × [hi, lo])."""
+        x = np.asarray(x)
+        re = self.ar.embed(np.real(x).astype(
+            np.float64 if self.is_dd else np.float32))
+        im = self.ai.embed(np.imag(x).astype(
+            np.float64 if self.is_dd else np.float32))
+        return np.stack([re, im], axis=1)
+
+    def extract(self, z) -> np.ndarray:
+        z = np.asarray(z)
+        re = self.ar.extract(z[:, 0])
+        im = self.ai.extract(z[:, 1])
+        return re + 1j * im
+
+
 def partition_coo_rows_packed(
     coo: CooMatrix,
     n_shards: int,
     overlap: bool = True,
 ) -> PackedPartition:
-    """Build a :class:`PackedPartition` from a square host COO.
+    """Build a :class:`PackedPartition` from a square host COO
+    (complex values: a :class:`ComplexPackedPartition` plane pair).
 
     ``overlap=True`` (default) splits each shard into interior/exterior
     slabs sharing one lane space, so the distributed SpMV overlaps the
@@ -443,6 +500,23 @@ def partition_coo_rows_packed(
     ``ell.c:161-202``).  ``overlap=False`` keeps the single-slab
     schedule (collective serialises with all local compute)."""
     import jax.numpy as jnp
+
+    if np.issubdtype(np.dtype(coo.values.dtype), np.complexfloating):
+        real_dt = (np.float64 if coo.values.dtype == np.complex128
+                   else np.float32)
+        re = CooMatrix(coo.rows, coo.cols,
+                       np.real(coo.values).astype(real_dt),
+                       coo.n_rows, coo.n_cols)
+        im = CooMatrix(coo.rows, coo.cols,
+                       np.imag(coo.values).astype(real_dt),
+                       coo.n_rows, coo.n_cols)
+        ar = partition_coo_rows_packed(re, n_shards, overlap)
+        ai = partition_coo_rows_packed(im, n_shards, overlap)
+        if not np.array_equal(np.asarray(ar.lane_of_row),
+                              np.asarray(ai.lane_of_row)):
+            raise ValueError("re/im plane lane maps diverged — plane "
+                             "sparsity patterns must be identical")
+        return ComplexPackedPartition(ar=ar, ai=ai)
 
     mats, send_idx, chunk, K, halo_counts = build_shard_mats(
         coo, n_shards, split_exterior=overlap)

@@ -196,22 +196,41 @@ def cg_dd(
     return CgResult(x, k, rnorm, rnorm <= tol * bnorm)
 
 
+def _dd_allreduce(h, l, axis_name):
+    """Cross-shard dd sum: all_gather + error-free tree combine (a plain
+    psum of hi words would round each hop to fp32)."""
+    if axis_name is None:
+        return h, l
+    from spgpu_tpu.ops import dd
+
+    hs = jax.lax.all_gather(h, axis_name)
+    ls = jax.lax.all_gather(l, axis_name)
+    h, l = hs[0], ls[0]
+    for i in range(1, hs.shape[0]):
+        h, l = dd.dd_add_dd(h, l, hs[i], ls[i])
+    return h, l
+
+
 def cg_herm_planes(
     matvec: Callable[[jax.Array], jax.Array],
     b: jax.Array,
     x0: Optional[jax.Array] = None,
     tol: float = 1e-6,
     maxiter: int = 1000,
+    axis_name: Optional[str] = None,
 ) -> CgResult:
     """CG for hermitian positive-definite COMPLEX systems on the plane-
     stacked fast path: vectors are ``(2, n)`` fp32 [re, im] stacks and
     ``matvec`` is the 4-plane-product SpMV (``ops.whell_spmv`` on a
     :class:`~spgpu_tpu.formats.whell.WhellComplex`).  For hermitian PD
     systems every CG scalar is real, so the iteration needs only the
-    real parts of the inner products (``Re<u,v> = ur·vr + ui·vi``)."""
+    real parts of the inner products (``Re<u,v> = ur·vr + ui·vi``).
+    ``axis_name``: inside ``shard_map``, inner products ``psum`` over
+    the mesh axis (the distributed C-precision solve)."""
 
     def dot_re(u, v):
-        return jnp.sum(u[0] * v[0] + u[1] * v[1])
+        s = jnp.sum(u[0] * v[0] + u[1] * v[1])
+        return jax.lax.psum(s, axis_name) if axis_name else s
 
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -246,11 +265,13 @@ def cg_herm_planes_dd(
     x0: Optional[jax.Array] = None,
     tol: float = 1e-12,
     maxiter: int = 1000,
+    axis_name: Optional[str] = None,
 ) -> CgResult:
     """Z-precision hermitian CG: vectors are ``(2, 2, n)`` stacks
     ([re, im] × [hi, lo]); ``matvec`` is the dd 4-plane SpMV.  All CG
     scalars are real dd pairs; the same EFT pinning discipline as
-    :func:`cg_dd` applies."""
+    :func:`cg_dd` applies.  ``axis_name``: error-free cross-shard dd
+    reductions inside ``shard_map`` (the distributed Z solve)."""
     from spgpu_tpu.ops import dd
 
     pin = jax.lax.optimization_barrier
@@ -258,7 +279,8 @@ def cg_herm_planes_dd(
     def dot_re(u, v):
         hr, lr = dd.dd_dot(u[0], v[0])
         hi, li = dd.dd_dot(u[1], v[1])
-        return dd.dd_add_dd(hr, lr, hi, li)  # real part, dd pair
+        h, l = dd.dd_add_dd(hr, lr, hi, li)  # real part, dd pair
+        return _dd_allreduce(h, l, axis_name)
 
     def axpy(alpha, p, x):
         """x + alpha*p per plane (alpha a real dd pair)."""
@@ -308,6 +330,7 @@ def bicgstab_planes(
     x0: Optional[jax.Array] = None,
     tol: float = 1e-6,
     maxiter: int = 1000,
+    axis_name: Optional[str] = None,
 ) -> CgResult:
     """BiCGSTAB for general (non-hermitian) COMPLEX systems on the
     plane-stacked fast path: vectors are ``(2, n)`` fp32 [re, im] stacks
@@ -321,7 +344,8 @@ def bicgstab_planes(
     def cdot(u, v):
         re = jnp.sum(u[0] * v[0] + u[1] * v[1])
         im = jnp.sum(u[0] * v[1] - u[1] * v[0])
-        return jnp.stack([re, im])
+        s = jnp.stack([re, im])
+        return jax.lax.psum(s, axis_name) if axis_name else s
 
     def cmul(a, b2):
         return jnp.stack([a[0] * b2[0] - a[1] * b2[1],
@@ -341,7 +365,8 @@ def bicgstab_planes(
         return a[0] * a[0] + a[1] * a[1]
 
     def re_dot(u, v):
-        return jnp.sum(u[0] * v[0] + u[1] * v[1])
+        s = jnp.sum(u[0] * v[0] + u[1] * v[1])
+        return jax.lax.psum(s, axis_name) if axis_name else s
 
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -395,6 +420,7 @@ def bicgstab_planes_dd(
     x0: Optional[jax.Array] = None,
     tol: float = 1e-12,
     maxiter: int = 1000,
+    axis_name: Optional[str] = None,
 ) -> CgResult:
     """Z-precision (dd-complex) BiCGSTAB: vectors are ``(2, 2, n)``
     stacks ([re, im] × [hi, lo]); ``matvec`` is the dd 4-plane SpMV.
@@ -439,14 +465,17 @@ def bicgstab_planes_dd(
         ii = dd.dd_dot(u[1], v[1])
         ri = dd.dd_dot(u[0], v[1])
         ir = dd.dd_dot(u[1], v[0])
-        re = dd.dd_add_dd(rr[0], rr[1], ii[0], ii[1])
-        im = dd.dd_add_dd(ri[0], ri[1], -ir[0], -ir[1])
+        re = _dd_allreduce(*dd.dd_add_dd(rr[0], rr[1], ii[0], ii[1]),
+                           axis_name)
+        im = _dd_allreduce(*dd.dd_add_dd(ri[0], ri[1], -ir[0], -ir[1]),
+                           axis_name)
         return jnp.stack([jnp.stack(re), jnp.stack(im)])
 
     def re_dot(u, v):
         rr = dd.dd_dot(u[0], v[0])
         ii = dd.dd_dot(u[1], v[1])
-        return dd.dd_add_dd(rr[0], rr[1], ii[0], ii[1])[0]
+        return _dd_allreduce(
+            *dd.dd_add_dd(rr[0], rr[1], ii[0], ii[1]), axis_name)[0]
 
     def zvs(v, s):
         """vector (2, 2, n) * dd-complex scalar (2, 2)."""

@@ -52,10 +52,14 @@ def test_solve_fmt_blocks_and_pcell():
                                    rtol=1e-3, atol=1e-3)
 
 
-def test_packed_partition_rejects_complex():
+def test_packed_partition_complex_routing():
+    # complex COOs partition as ComplexPackedPartition plane pairs (r4
+    # distributed C/Z); the row-blocked single-device layout still
+    # rejects them loudly
     from spgpu_tpu.formats.coo import CooMatrix
     from spgpu_tpu.parallel.blocks import coo_to_whell_blocks
-    from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+    from spgpu_tpu.parallel.partition_packed import (
+        ComplexPackedPartition, partition_coo_rows_packed)
 
     rng = np.random.default_rng(6)
     n = 256
@@ -63,8 +67,8 @@ def test_packed_partition_rejects_complex():
     vals = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
         np.complex64)
     coo = CooMatrix(r, r, vals, n, n)
-    with pytest.raises(ValueError, match="complex"):
-        partition_coo_rows_packed(coo, 2)
+    pm = partition_coo_rows_packed(coo, 2)
+    assert isinstance(pm, ComplexPackedPartition)
     with pytest.raises(ValueError, match="complex"):
         coo_to_whell_blocks(coo, n_blocks=2)
 
