@@ -31,6 +31,7 @@ the packed converter's padding guard for that shape.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import numpy as np
@@ -614,6 +615,26 @@ def blocks_cg(a: BlockedPackedWhell, b, x0=None, tol: float = 1e-6,
     bs = tuple(jnp.asarray(v) for v in embed_tuple(a, b))
     x0s = (None if x0 is None
            else tuple(jnp.asarray(v) for v in embed_tuple(a, np.asarray(x0))))
+    mns = (None if m_inv is None
+           else tuple(jnp.asarray(v) for v in _embed_minv(a, m_inv)))
+    x, k, rn, conv = _run_blocks_cg(a, bs, mns, x0s, tol=float(tol),
+                                    maxiter=int(maxiter),
+                                    interpret=interpret)
+    xs = extract_tuple(a, x)
+    return CgResult(x=xs, iterations=k, residual_norm=rn, converged=conv)
+
+
+# MODULE-LEVEL jitted runner: a jit defined inside blocks_cg is a new
+# function object per call, so every solve RETRACED AND RECOMPILED the
+# whole CG program (measured 4.2M dd: ~35 s/solve of pure compile
+# mistaken for per-iteration cost).  `am` is a jit ARGUMENT, not a
+# closure capture: captured slabs are baked into the HLO as literals
+# and shipped with the (relayed) compile request — GBs at the 4M class
+# (utils/timing.chained_time doc; observed as a relay broken pipe).
+@functools.partial(jax.jit,
+                   static_argnames=("tol", "maxiter", "interpret"))
+def _run_blocks_cg(am, bs, mns, x0s, *, tol, maxiter, interpret):
+    import jax.numpy as jnp
 
     def tdot(u, v):
         return sum(jnp.vdot(us, vs) for us, vs in zip(u, v))
@@ -621,47 +642,37 @@ def blocks_cg(a: BlockedPackedWhell, b, x0=None, tol: float = 1e-6,
     def taxpy(alpha, u, beta, v):
         return tuple(alpha * us + beta * vs for us, vs in zip(u, v))
 
-    mv = lambda v: blocks_spmv_tuple(a, v, interpret=interpret)
-    mns = (None if m_inv is None
-           else tuple(jnp.asarray(v) for v in _embed_minv(a, m_inv)))
+    mv = lambda v: blocks_spmv_tuple(am, v, interpret=interpret)
+    x0 = (tuple(jnp.zeros_like(v) for v in bs) if x0s is None else x0s)
+    r0 = (bs if x0s is None
+          else taxpy(1.0, bs, -1.0, mv(x0s)))
+    z0 = (r0 if mns is None
+          else tuple(rs * ms for rs, ms in zip(r0, mns)))
+    rz0 = tdot(r0, z0)
+    bn = jnp.sqrt(tdot(bs, bs))
+    bn = jnp.where(bn == 0, 1.0, bn)
 
+    def cond(st):
+        x, r, z, p, rz, k = st
+        return (jnp.sqrt(tdot(r, r)) > tol * bn) & (k < maxiter)
 
-    @jax.jit
-    def run(bs, mns, x0s):
-        x0 = (tuple(jnp.zeros_like(v) for v in bs) if x0s is None else x0s)
-        r0 = (bs if x0s is None
-              else taxpy(1.0, bs, -1.0, mv(x0s)))
-        z0 = (r0 if mns is None
-              else tuple(rs * ms for rs, ms in zip(r0, mns)))
-        rz0 = tdot(r0, z0)
-        bn = jnp.sqrt(tdot(bs, bs))
-        bn = jnp.where(bn == 0, 1.0, bn)
+    def body(st):
+        x, r, z, p, rz, k = st
+        ap = mv(p)
+        alpha = rz / tdot(p, ap)
+        x = taxpy(1.0, x, alpha, p)
+        r = taxpy(1.0, r, -alpha, ap)
+        z = (r if mns is None
+             else tuple(rs * ms for rs, ms in zip(r, mns)))
+        rz_new = tdot(r, z)
+        beta = rz_new / rz
+        p = taxpy(1.0, z, beta, p)
+        return (x, r, z, p, rz_new, k + 1)
 
-        def cond(st):
-            x, r, z, p, rz, k = st
-            return (jnp.sqrt(tdot(r, r)) > tol * bn) & (k < maxiter)
-
-        def body(st):
-            x, r, z, p, rz, k = st
-            ap = mv(p)
-            alpha = rz / tdot(p, ap)
-            x = taxpy(1.0, x, alpha, p)
-            r = taxpy(1.0, r, -alpha, ap)
-            z = (r if mns is None
-                 else tuple(rs * ms for rs, ms in zip(r, mns)))
-            rz_new = tdot(r, z)
-            beta = rz_new / rz
-            p = taxpy(1.0, z, beta, p)
-            return (x, r, z, p, rz_new, k + 1)
-
-        x, r, z, p, rz, k = jax.lax.while_loop(
-            cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
-        rn = jnp.sqrt(tdot(r, r))
-        return x, k, rn, rn <= tol * bn
-
-    x, k, rn, conv = run(bs, mns, x0s)
-    xs = extract_tuple(a, x)
-    return CgResult(x=xs, iterations=k, residual_norm=rn, converged=conv)
+    x, r, z, p, rz, k = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
+    rn = jnp.sqrt(tdot(r, r))
+    return x, k, rn, rn <= tol * bn
 
 
 def _blocks_cg_dd(a: BlockedPackedWhell, b, x0, tol, maxiter, m_inv,
@@ -680,7 +691,22 @@ def _blocks_cg_dd(a: BlockedPackedWhell, b, x0, tol, maxiter, m_inv,
            else tuple(jnp.asarray(v) for v in embed_tuple(a, np.asarray(x0))))
     mns = (None if m_inv is None
            else tuple(jnp.asarray(v) for v in _embed_minv(a, m_inv)))
-    mv = lambda v: blocks_spmv_tuple(a, v, interpret=interpret)
+    x, k, rn, conv = _run_blocks_cg_dd(a, bs, mns, x0s, tol=float(tol),
+                                       maxiter=int(maxiter),
+                                       interpret=interpret)
+    xs = extract_tuple(a, x)
+    return CgResult(x=xs, iterations=k, residual_norm=rn, converged=conv)
+
+
+# module-level jitted runner: see _run_blocks_cg (per-call jits retrace
+# and recompile the whole program; captured slabs ship as HLO literals)
+@functools.partial(jax.jit,
+                   static_argnames=("tol", "maxiter", "interpret"))
+def _run_blocks_cg_dd(am, bs, mns_, x0s, *, tol, maxiter, interpret):
+    import jax.numpy as jnp
+
+    from spgpu_tpu.ops import dd
+
     pin = jax.lax.optimization_barrier
 
     def tdot(u, v):
@@ -698,60 +724,56 @@ def _blocks_cg_dd(a: BlockedPackedWhell, b, x0, tol, maxiter, m_inv,
             out.append(jnp.stack([h, l]))
         return tuple(out)
 
+    mv = lambda v: blocks_spmv_tuple(am, v, interpret=interpret)
+
     def prec(v):
-        if mns is None:
+        if mns_ is None:
             return v
         out = []
-        for vs, ms in zip(v, mns):
+        for vs, ms in zip(v, mns_):
             h, l = dd.dd_mul(vs[0], vs[1], ms, jnp.zeros_like(ms))
             out.append(jnp.stack([h, l]))
         return tuple(out)
 
-    @jax.jit
-    def run(bs, mns_, x0s):
-        x0t = (tuple(jnp.zeros_like(v) for v in bs) if x0s is None else x0s)
-        if x0s is None:
-            r0 = bs
-        else:
-            ax = mv(x0t)
-            r0 = tuple(
-                jnp.stack(dd.dd_add_dd(bsv[0], bsv[1], -av[0], -av[1]))
-                for bsv, av in zip(bs, ax))
-        z0 = prec(r0)
-        rz0 = tdot(r0, z0)
-        bn = jnp.sqrt(jnp.maximum(tdot(bs, bs)[0], 0.0))
-        bn = jnp.where(bn == 0, 1.0, bn)
+    x0t = (tuple(jnp.zeros_like(v) for v in bs) if x0s is None else x0s)
+    if x0s is None:
+        r0 = bs
+    else:
+        ax = mv(x0t)
+        r0 = tuple(
+            jnp.stack(dd.dd_add_dd(bsv[0], bsv[1], -av[0], -av[1]))
+            for bsv, av in zip(bs, ax))
+    z0 = prec(r0)
+    rz0 = tdot(r0, z0)
+    bn = jnp.sqrt(jnp.maximum(tdot(bs, bs)[0], 0.0))
+    bn = jnp.where(bn == 0, 1.0, bn)
 
-        def cond(st):
-            x, r, z, p, rz, k = st
-            return (jnp.sqrt(jnp.maximum(tdot(r, r)[0], 0.0))
-                    > tol * bn) & (k < maxiter)
+    def cond(st):
+        x, r, z, p, rz, k = st
+        return (jnp.sqrt(jnp.maximum(tdot(r, r)[0], 0.0))
+                > tol * bn) & (k < maxiter)
 
-        def body(st):
-            x, r, z, p, rz, k = st
-            ap = pin(mv(p))
-            pap = tdot(p, ap)
-            alpha = pin(dd.dd_div(rz[0], rz[1], pap[0], pap[1]))
-            x = pin(taxpy(alpha, p, x))
-            r = pin(taxpy((-alpha[0], -alpha[1]), ap, r))
-            z = prec(r)
-            rz_new = tdot(r, z)
-            beta = pin(dd.dd_div(rz_new[0], rz_new[1], rz[0], rz[1]))
-            p = pin(tuple(
-                jnp.stack(dd.dd_add_dd(
-                    zs[0], zs[1],
-                    *dd.dd_mul(ps[0], ps[1], beta[0], beta[1])))
-                for zs, ps in zip(z, p)))
-            return (x, r, z, p, jnp.stack(rz_new), k + 1)
+    def body(st):
+        x, r, z, p, rz, k = st
+        ap = pin(mv(p))
+        pap = tdot(p, ap)
+        alpha = pin(dd.dd_div(rz[0], rz[1], pap[0], pap[1]))
+        x = pin(taxpy(alpha, p, x))
+        r = pin(taxpy((-alpha[0], -alpha[1]), ap, r))
+        z = prec(r)
+        rz_new = tdot(r, z)
+        beta = pin(dd.dd_div(rz_new[0], rz_new[1], rz[0], rz[1]))
+        p = pin(tuple(
+            jnp.stack(dd.dd_add_dd(
+                zs[0], zs[1],
+                *dd.dd_mul(ps[0], ps[1], beta[0], beta[1])))
+            for zs, ps in zip(z, p)))
+        return (x, r, z, p, jnp.stack(rz_new), k + 1)
 
-        x, r, z, p, rz, k = jax.lax.while_loop(
-            cond, body, (x0t, r0, z0, z0, jnp.stack(rz0), jnp.int32(0)))
-        rn = jnp.sqrt(jnp.maximum(tdot(r, r)[0], 0.0))
-        return x, k, rn, rn <= tol * bn
-
-    x, k, rn, conv = run(bs, mns, x0s)
-    xs = extract_tuple(a, x)
-    return CgResult(x=xs, iterations=k, residual_norm=rn, converged=conv)
+    x, r, z, p, rz, k = jax.lax.while_loop(
+        cond, body, (x0t, r0, z0, z0, jnp.stack(rz0), jnp.int32(0)))
+    rn = jnp.sqrt(jnp.maximum(tdot(r, r)[0], 0.0))
+    return x, k, rn, rn <= tol * bn
 
 
 def _embed_minv(a: BlockedPackedWhell, m_inv):
