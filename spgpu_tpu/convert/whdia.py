@@ -83,14 +83,20 @@ def coo_to_whdia(coo: CooMatrix, dtype=None, window_pages=None,
     # geometry defaults (chip sweep, BASELINE.md): 128-hack groups /
     # 128-tile chunks lift banded-31 70.7 -> 86.7 GFLOPS and the 1M
     # Laplacian 28.2 -> 33.5 (fewer z flushes, amortised grid steps).
-    # ct=256 loses: the chunk floor forces the window auto-pick down.
-    # dd kernels carry ~4x the ops per tile — keep their tested 32/32
-    # geometry so the Mosaic compile stays tractable (DESIGN.md).
+    # r4 pattern-mode sweep (banded-11 524k, interleaved best-of-3):
+    # ct=256 now WINS at gh=128/256 (142.0 -> 151.4 GFLOPS) — without
+    # the r0 slab the kernel is op-bound and the bigger chunk amortises
+    # grid steps; the old "ct=256 loses" verdict was a slab-mode
+    # artifact.  Kept >=4096-tile gated so the chunk floor can't force
+    # the window auto-pick down on small matrices.  dd kernels carry
+    # ~4x the ops per tile — keep their tested 32/32 geometry so the
+    # Mosaic compile stays tractable (DESIGN.md).
     if group_hacks is None:
         group_hacks = 32 if (is_dd or num_hacks < 128) else 128
     if chunk_tiles is None:
         est_tiles = max(1, coo.nnz // 1024)
         chunk_tiles = (32 if is_dd else
+                       256 if est_tiles >= 4096 else
                        128 if est_tiles >= 1024 else
                        64 if est_tiles >= 256 else 32)
     _GROUPv = group_hacks
