@@ -1,6 +1,11 @@
 """COO → PCELL-WHELL: the per-cell row-routing kernel family (round-3
 experiment, VERDICT r2 item 1).
 
+.. deprecated:: round 4
+   Chip-REFUTED for performance (~3.6x slower than packed WHELL,
+   doc/DESIGN.md §2h); kept as tested evidence of the lane-gather issue
+   limit.  Use ``coo_to_whell(packed=True)`` for production.
+
 The packed-lane layout (convert/whell.py) gives every row a FIXED lane
 segment across all slots of its (hack, window) group; its measured
 padding floor on power-law FEM profiles is 1.74x — partial slot fill is

@@ -53,12 +53,15 @@ class WhdiaMatrix:
     #   scalars: the scalar unpack (8 loads + vector inserts per tile)
     #   was the latency chain that held WHDIA at ~29 cycles/tile, and
     #   per-slot SMEM words capped the matrix size at the 1 MB SMEM
-    #   budget.  None in PATTERN mode (r4): when the per-tile r0 delta
-    #   patterns (r0[s] − r0[0], dead slots canonicalised) collapse to
-    #   a small set, r0 is rebuilt in-kernel from one per-tile scalar
-    #   (``tile_r0``) + compile-time pattern constants (``r0_pats``) —
-    #   a scalar splat + select tree instead of a 2 B/cell slab stream
-    #   (traffic drops to values-only, the format's design ideal).
+    #   budget.  None in PATTERN mode (r4): when every tile's FILLED
+    #   slots form an arithmetic progression ``r0[s] = r00 + step*s``
+    #   (contiguous-band matrices — the HDIA bread-and-butter), ONE
+    #   packed int32 per tile (``tile_r0``: ``(step+4096)<<19 |
+    #   (nfill-1)<<16 | (r00+1024)``) rebuilds the (8, 128) r0 block
+    #   in-kernel as 3 scalar splats + min/mul/add; dead slots repeat
+    #   the last filled value (their cells are zero, so their gathers
+    #   are inert).  The 2 B/cell slab disappears and traffic drops to
+    #   values-only, the format's design ideal (doc/DESIGN.md §3d).
     tile_base: jax.Array  # (num_tiles,) int32: first x page of the tile
     #   (low 16 bits) | hack index within the 32-hack group (high bits)
     chunk_group: jax.Array  # (num_tiles // 8,) int32: 8-hack group of chunk

@@ -152,3 +152,28 @@ def test_multivector_variants(rng):
     np.testing.assert_allclose(
         np.asarray(ops.maxpby(2.0, jnp.asarray(X), 3.0, jnp.asarray(Y))), 2 * X + 3 * Y
     )
+
+
+def test_int_gath_scat_setscal(rng):
+    """TYPE_INT parity: the reference instantiates gath/scat/setscal for
+    int too (``igath.cu``/``iscat.cu``/``isetscal.cu``, ``gath_base.cuh``
+    i-instantiations) — the indexed/fill ops must work on integer data,
+    not just the four float/complex types."""
+    y = jnp.asarray(np.arange(20, dtype=np.int32) * 3)
+    idx = jnp.asarray(np.array([4, -1, 7, 0], dtype=np.int32))
+    prior = jnp.asarray(np.full(4, -99, dtype=np.int32))
+    out = np.asarray(ops.gath(y, idx, out=prior))
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, [12, -99, 21, 0])
+
+    y0 = jnp.asarray(np.full(8, 5, dtype=np.int32))
+    vals = jnp.asarray(np.array([10, 20], dtype=np.int32))
+    out = np.asarray(ops.scat(y0, jnp.asarray(np.array([2, 6])), vals, 0))
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out, [5, 5, 10, 5, 5, 5, 20, 5])
+
+    out = np.asarray(ops.setscal(jnp.asarray(np.zeros(10, np.int32)), 7,
+                                 first=3, last=6))
+    assert out.dtype == np.int32
+    np.testing.assert_array_equal(out[3:6], 7)
+    assert out[:3].sum() == 0 and out[6:].sum() == 0
