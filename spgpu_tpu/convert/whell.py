@@ -532,6 +532,11 @@ def _coo_to_whell_packed(
     seg_hi = np.full((num_groups * gh, _HACK), -1, dtype=np.int8)
     seg_lo[hack_of_row[:n], out_pos] = (lane_start[:n] - 1).astype(np.int8)
     seg_hi[hack_of_row[:n], out_pos] = (lane_start[:n] + d[:n] - 1).astype(np.int8)
+    # width-1 segments everywhere (stencil/banded degree profiles):
+    # the kernel flush can skip the lane prefix scan + one compaction
+    # gather (r5, DESIGN §2c-3 — the dd flush's scan was 60% of the
+    # whole dd kernel)
+    unit_segs = bool(np.all(d[:n] == 1)) if n else True
 
     if m == 0:
         total = num_groups * ct * 8
@@ -936,6 +941,7 @@ def _coo_to_whell_packed(
                     group_bases=bases_s,
                     window_pages=8 * K if scattered else w, orig_rows=n,
                     group_hacks=gh, chunk_tiles=ct,
+                    unit_segments=unit_segs,
                 ))
             mat = SegmentedWhell(
                 segments=tuple(segs), n_rows=n_lane, n_cols=cols_p,
@@ -962,6 +968,7 @@ def _coo_to_whell_packed(
                              bases_p.reshape(-1)))),
             window_pages=8 * K if scattered else w, orig_rows=n,
             group_hacks=gh, chunk_tiles=ct,
+            unit_segments=unit_segs,
         )
         return mat, slot, vlane_p
 

@@ -113,6 +113,13 @@ class WhellMatrix:
     #: grid-chunk size in tiles (kernel unroll factor; per-group tile
     #: counts round up to this)
     chunk_tiles: int = dataclasses.field(default=64, metadata=dict(static=True))
+    #: every row owns exactly ONE lane (true for stencil/banded degree
+    #: profiles under the 1.25x-avg lane capacity) — the group flush
+    #: then skips the lane prefix scan + one compaction gather: output
+    #: lane o is just the slot-sum at its row's contribution lane
+    #: (r5; the dd flush's scan was 60% of the dd kernel, DESIGN §2c-3)
+    unit_segments: bool = dataclasses.field(default=False,
+                                            metadata=dict(static=True))
 
     hack_size = 128  # lane width; fixed by the layout
 
@@ -242,7 +249,13 @@ class PcellWhell:
     densely per slot (one contiguous lane RUN per (row, slot)); the
     kernel scans each contrib tile along lanes and differences the scan
     at run ends, routing partials to output lanes via ``run_hi`` /
-    ``run_lo``.  Output is in ORIGINAL row order — no lane space."""
+    ``run_lo``.  Output is in ORIGINAL row order — no lane space.
+
+    .. deprecated:: round 4
+       Measured ~3.6x SLOWER than the packed layout on this hardware
+       (the per-tile lane-gather issue limit, doc/DESIGN.md §2h) despite
+       its padding win.  Kept as tested evidence; do NOT pick it
+       expecting a speedup — use ``coo_to_whell(packed=True)``."""
 
     values: jax.Array  # (total_slots, 128)
     residue: jax.Array  # (total_slots, 128) int8: col % 128

@@ -119,7 +119,7 @@ def _whell_spmv_call(values, residue, page_tab, tile_base, chunk_group,
 
 def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
                          group_hacks, scattered=False, halo_page=None,
-                         pipeline=0):
+                         pipeline=0, unit_segments=False):
     """Packed-lane WHELL SpMV.
 
     Same streaming skeleton as :func:`_whell_kernel`, plus:
@@ -271,30 +271,42 @@ def _whell_packed_kernel(*refs, window_pages, chunk_tiles,
     def _():
         acc = zacc[:].reshape(2, group_hacks, 8, 128).sum(axis=0)
         y = jnp.sum(acc, axis=1)  # (group_hacks, 128): slot-sum
-        # inclusive prefix scan along lanes (static shifts lower to lane
-        # shifts; 7 rounds)
-        p = y
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            p = p + jnp.concatenate(
-                [jnp.zeros((group_hacks, s), p.dtype), p[:, :128 - s]],
-                axis=1)
-        lo = seglo_ref[:].astype(jnp.int32)
         hi = seghi_ref[:].astype(jnp.int32)
+        mhi = (hi >= 0)
+        if unit_segments:
+            # width-1 segments everywhere: output lane o is the
+            # slot-sum at its row's single contribution lane — no
+            # prefix scan, one compaction gather (r5, DESIGN §2c-3)
+            y_hi = jnp.take_along_axis(y, jnp.maximum(hi, 0), axis=1)
+            z_ref[:] = y_hi * mhi.astype(y.dtype)
+            return
+        # inclusive prefix scan along lanes: 7 hardware lane ROLLS +
+        # masked adds (r5 — the lane-misaligned concatenate Mosaic
+        # lowers as a scalar shuffle cost ~2.2 us per gh=512 flush,
+        # measured via the dd ablation where the same scan dominated
+        # the whole kernel; doc/DESIGN.md §2c-3)
+        p = y
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (group_hacks, 128), 1)
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            p = p + jnp.where(lane_i >= s, pltpu.roll(p, s, 1),
+                              jnp.zeros_like(p))
+        lo = seglo_ref[:].astype(jnp.int32)
         p_lo = jnp.take_along_axis(p, jnp.maximum(lo, 0), axis=1)
         p_hi = jnp.take_along_axis(p, jnp.maximum(hi, 0), axis=1)
-        z_ref[:] = (p_hi * (hi >= 0).astype(p.dtype)
+        z_ref[:] = (p_hi * mhi.astype(p.dtype)
                     - p_lo * (lo >= 0).astype(p.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
-    "group_hacks", "halo_page", "pipeline", "interpret"))
+    "group_hacks", "halo_page", "pipeline", "interpret",
+    "unit_segments"))
 def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
                        tile_base, chunk_group, x2d, group_bases=None,
                        halo_win=None, *,
                        num_tiles, num_groups, x_pages, window_pages,
                        chunk_tiles, group_hacks, halo_page=None,
-                       pipeline=0, interpret=False):
+                       pipeline=0, interpret=False, unit_segments=False):
     ct, gh = chunk_tiles, group_hacks
     scattered = group_bases is not None
     num_chunks = num_tiles // ct
@@ -329,7 +341,7 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
         functools.partial(_whell_packed_kernel, window_pages=window_pages,
                           chunk_tiles=ct, group_hacks=gh,
                           scattered=scattered, halo_page=halo_page,
-                          pipeline=pipeline),
+                          pipeline=pipeline, unit_segments=unit_segments),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_groups * gh, 128), x2d.dtype),
         interpret=interpret,
@@ -343,7 +355,8 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
 
 def _whell_packed_dd_kernel(*refs, window_pages,
                             chunk_tiles, group_hacks, interpret,
-                            halo_page=None):
+                            halo_page=None, parity=False,
+                            unit_segments=False):
     with __import__("contextlib").ExitStack() as _stack:
         from spgpu_tpu.ops import dd as _ddmod
 
@@ -358,14 +371,16 @@ def _whell_packed_dd_kernel(*refs, window_pages,
         _whell_packed_dd_body(
             *refs, win_ref=win_ref, halo_page=halo_page,
             window_pages=window_pages, chunk_tiles=chunk_tiles,
-            group_hacks=group_hacks)
+            group_hacks=group_hacks, parity=parity,
+            unit_segments=unit_segments)
 
 
 def _whell_packed_dd_body(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
                           pt_ref, seglo_ref, seghi_ref, x_hbm_ref, z_ref,
                           zh, zl, x_vmem, xsem, *, window_pages,
                           chunk_tiles, group_hacks, win_ref=None,
-                          halo_page=None):
+                          halo_page=None, parity=False,
+                          unit_segments=False):
     """Double-float (fp64 emulation) packed WHELL SpMV.
 
     Same structure as :func:`_whell_packed_kernel` with every value in
@@ -425,31 +440,57 @@ def _whell_packed_dd_body(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
         p, e = two_prod(vh, g_hi)
         e = e + (vh * g_lo + vl * g_hi)
         hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
-        ah = zh[pl.ds(hh, 1), :, :]
-        al = zl[pl.ds(hh, 1), :, :]
+        # parity=True: even/odd tiles RMW DISJOINT planes (the fp32
+        # kernel's RMW-chain break).  MEASURED WORSE on the dd kernel
+        # (12.8 vs 15.4 GFLOPS, DESIGN §2c-3) — the dd accumulate is
+        # not chain-bound; default stays single-plane.
+        sl = pl.ds(hh + (k % 2) * group_hacks, 1) if parity \
+            else pl.ds(hh, 1)
+        ah = zh[sl, :, :]
+        al = zl[sl, :, :]
         s, e2 = two_sum(ah, p[None])
         nh, nl = fast_two_sum(s, e2 + al + e[None])
-        zh[pl.ds(hh, 1), :, :] = nh
-        zl[pl.ds(hh, 1), :, :] = nl
+        zh[sl, :, :] = nh
+        zl[sl, :, :] = nl
 
     last = cgroup_ref[c] != cgroup_ref[c + 1]
 
     @pl.when(last)
     def _():
-        yh = zh[:, 0]
-        yl = zl[:, 0]
+        gh_ = group_hacks
+        AH = zh[:]
+        AL = zl[:]
+        yh = AH[:gh_, 0]
+        yl = AL[:gh_, 0]
         for s in range(1, 8):  # dd slot-sum
-            yh, yl = dd_add_dd(yh, yl, zh[:, s], zl[:, s])
+            yh, yl = dd_add_dd(yh, yl, AH[:gh_, s], AL[:gh_, s])
+        if parity:
+            for s in range(8):  # + odd parity plane
+                yh, yl = dd_add_dd(yh, yl, AH[gh_:, s], AL[gh_:, s])
         ph, pll = yh, yl
-        for s in (1, 2, 4, 8, 16, 32, 64):  # dd prefix scan along lanes
-            zpad = jnp.zeros((group_hacks, s), ph.dtype)
-            sh = jnp.concatenate([zpad, ph[:, :128 - s]], axis=1)
-            sl = jnp.concatenate([zpad, pll[:, :128 - s]], axis=1)
+        hi = seghi_ref[:].astype(jnp.int32)
+        mhi = (hi >= 0).astype(ph.dtype)
+        if unit_segments:
+            # width-1 segments everywhere: skip the dd scan AND the lo
+            # compaction — output lane o is the slot-sum at its row's
+            # single contribution lane (r5, DESIGN §2c-3: the dd scan
+            # was ~60% of the whole kernel on the Laplacian row)
+            z_ref[0] = jnp.take_along_axis(
+                ph, jnp.maximum(hi, 0), axis=1) * mhi
+            z_ref[1] = jnp.take_along_axis(
+                pll, jnp.maximum(hi, 0), axis=1) * mhi
+            return
+        # dd inclusive prefix scan along lanes: hardware lane ROLLS +
+        # masked dd adds (r5) — the two misaligned concatenates per
+        # round lowered as scalar shuffles (§2h)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (group_hacks, 128), 1)
+        zero = jnp.zeros_like(ph)
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            sh = jnp.where(lane_i >= s, pltpu.roll(ph, s, 1), zero)
+            sl = jnp.where(lane_i >= s, pltpu.roll(pll, s, 1), zero)
             ph, pll = dd_add_dd(ph, pll, sh, sl)
         lo = seglo_ref[:].astype(jnp.int32)
-        hi = seghi_ref[:].astype(jnp.int32)
         mlo = (lo >= 0).astype(ph.dtype)
-        mhi = (hi >= 0).astype(ph.dtype)
         ph_hi = jnp.take_along_axis(ph, jnp.maximum(hi, 0), axis=1) * mhi
         pl_hi = jnp.take_along_axis(pll, jnp.maximum(hi, 0), axis=1) * mhi
         ph_lo = jnp.take_along_axis(ph, jnp.maximum(lo, 0), axis=1) * mlo
@@ -461,12 +502,13 @@ def _whell_packed_dd_body(tmeta_ref, cgroup_ref, vh_ref, vl_ref, res_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
-    "group_hacks", "halo_page", "interpret"))
+    "group_hacks", "halo_page", "interpret", "parity", "unit_segments"))
 def _whell_packed_dd_call(values, values_lo, residue, page_tab, seg_lo,
                           seg_hi, tile_base, chunk_group, x3d,
                           halo_win=None, *, num_tiles,
                           num_groups, x_pages, window_pages, chunk_tiles,
-                          group_hacks, halo_page=None, interpret=False):
+                          group_hacks, halo_page=None, interpret=False,
+                          parity=False, unit_segments=False):
     ct, gh = chunk_tiles, group_hacks
     num_chunks = num_tiles // ct
     in_specs = [
@@ -488,8 +530,8 @@ def _whell_packed_dd_call(values, values_lo, residue, page_tab, seg_lo,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, gh, 128), lambda c, tm, cg: (0, cg[c], 0)),
         scratch_shapes=[
-            pltpu.VMEM((gh, 8, 128), jnp.float32),
-            pltpu.VMEM((gh, 8, 128), jnp.float32),
+            pltpu.VMEM(((2 if parity else 1) * gh, 8, 128), jnp.float32),
+            pltpu.VMEM(((2 if parity else 1) * gh, 8, 128), jnp.float32),
             pltpu.VMEM((2, x_pages, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -497,7 +539,8 @@ def _whell_packed_dd_call(values, values_lo, residue, page_tab, seg_lo,
     return pl.pallas_call(
         functools.partial(_whell_packed_dd_kernel, window_pages=window_pages,
                           chunk_tiles=ct, group_hacks=gh,
-                          interpret=interpret, halo_page=halo_page),
+                          interpret=interpret, halo_page=halo_page,
+                          parity=parity, unit_segments=unit_segments),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2, num_groups * gh, 128), jnp.float32),
         interpret=interpret,
@@ -552,12 +595,14 @@ def whell_spmv_dd_pallas(a: WhellMatrix, x_pair, interpret: bool = False):
         num_tiles=a.num_tiles, num_groups=a.num_groups, x_pages=a.x_pages,
         window_pages=a.window_pages, chunk_tiles=a.chunk_tiles,
         group_hacks=a.group_hacks, interpret=interpret,
+        unit_segments=a.unit_segments,
     )
     return z.reshape(2, -1)[:, : a.n_rows]
 
 
 def _whell_packed_spmm_kernel(*refs, window_pages, chunk_tiles,
-                              group_hacks, n_rhs, scattered=False):
+                              group_hacks, n_rhs, scattered=False,
+                              unit_segments=False):
     """Fused multi-RHS packed-WHELL SpMM: the slab (values + indices) is
     decoded ONCE per tile and amortised over ``n_rhs`` products (the
     reference loops scalar kernels host-side, sdot.cu:167-175).  The
@@ -635,12 +680,17 @@ def _whell_packed_spmm_kernel(*refs, window_pages, chunk_tiles,
         hi = seghi_ref[:].astype(jnp.int32)
         mlo = (lo >= 0)
         mhi = (hi >= 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (group_hacks, 128), 1)
         for r in range(n_rhs):  # static: n_rhs scans per group, amortised
             p = jnp.sum(zacc[r], axis=1)
+            if unit_segments:  # width-1 segments: no scan, one gather
+                p_hi = jnp.take_along_axis(p, jnp.maximum(hi, 0), axis=1)
+                z_ref[r] = p_hi * mhi.astype(p.dtype)
+                continue
+            # lane rolls, not misaligned concatenates (r5, DESIGN §2c-3)
             for s in (1, 2, 4, 8, 16, 32, 64):
-                p = p + jnp.concatenate(
-                    [jnp.zeros((group_hacks, s), p.dtype), p[:, :128 - s]],
-                    axis=1)
+                p = p + jnp.where(lane_i >= s, pltpu.roll(p, s, 1),
+                                  jnp.zeros_like(p))
             p_lo = jnp.take_along_axis(p, jnp.maximum(lo, 0), axis=1)
             p_hi = jnp.take_along_axis(p, jnp.maximum(hi, 0), axis=1)
             z_ref[r] = (p_hi * mhi.astype(p.dtype)
@@ -649,11 +699,12 @@ def _whell_packed_spmm_kernel(*refs, window_pages, chunk_tiles,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
-    "group_hacks", "n_rhs", "interpret"))
+    "group_hacks", "n_rhs", "interpret", "unit_segments"))
 def _whell_packed_spmm_call(values, residue, page_tab, seg_lo, seg_hi,
                             tile_base, chunk_group, x3d, group_bases=None,
                             *, num_tiles, num_groups, x_pages, window_pages,
-                            chunk_tiles, group_hacks, n_rhs, interpret=False):
+                            chunk_tiles, group_hacks, n_rhs, interpret=False,
+                            unit_segments=False):
     ct, gh = chunk_tiles, group_hacks
     scattered = group_bases is not None
     num_chunks = num_tiles // ct
@@ -681,7 +732,8 @@ def _whell_packed_spmm_call(values, residue, page_tab, seg_lo, seg_hi,
     return pl.pallas_call(
         functools.partial(_whell_packed_spmm_kernel,
                           window_pages=window_pages, chunk_tiles=ct,
-                          group_hacks=gh, n_rhs=n_rhs, scattered=scattered),
+                          group_hacks=gh, n_rhs=n_rhs, scattered=scattered,
+                          unit_segments=unit_segments),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_rhs, num_groups * gh, 128), x3d.dtype),
@@ -758,6 +810,7 @@ def whell_spmm_packed_pallas(a, x, interpret: bool = False,
             x_pages=a.x_pages, window_pages=a.window_pages,
             chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
             n_rhs=rp, interpret=interpret,
+            unit_segments=a.unit_segments,
         )
         outs.append(z.reshape(rp, -1)[:, : a.n_rows])
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
@@ -1389,6 +1442,174 @@ def whdia_spmm_pallas(a, x, interpret: bool = False, rhs_per_pass=None):
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
+def _whdia_cplx_kernel(*refs, window_pages, chunk_tiles=_WHDIA_CT,
+                       group_hacks=32, pat_mode=False):
+    """ONE-PASS complex WHDIA SpMV (r5): both value planes stream
+    together, the r0/pt/idx decode runs ONCE per tile (the plane-pair
+    path ran it 4x), xr/xi gather through the shared index sets, and
+    the four real fmas land in re/im accumulator planes — the TPU
+    answer to the reference's single-kernel complex fma
+    (``hell_cspmv.cu:29``, ``cuCfmaf`` via ``mathbase.cuh:17,39``;
+    HDIA C/Z instantiation ``hdia_cspmv.cu``/``hdia_zspmv.cu``).
+    Traffic: 8 B/cell (+2 shared r0 in slab mode) vs the plane-pair
+    path's 16 B/cell (each plane slab read twice)."""
+    if pat_mode:
+        (tmeta_ref, cgroup_ref, tr0_ref, vr_ref, vi_ref,
+         xr_hbm, xi_hbm, z_ref, zacc_r, zacc_i, xr_vmem, xi_vmem,
+         sem_r, sem_i) = refs
+        r0_src = tr0_ref
+    else:
+        (tmeta_ref, cgroup_ref, vr_ref, vi_ref, r0_ref,
+         xr_hbm, xi_hbm, z_ref, zacc_r, zacc_i, xr_vmem, xi_vmem,
+         sem_r, sem_i) = refs
+        r0_src = r0_ref
+    gh = group_hacks
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        d1 = pltpu.make_async_copy(xr_hbm, xr_vmem, sem_r)
+        d2 = pltpu.make_async_copy(xi_hbm, xi_vmem, sem_i)
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        zacc_r[:] = jnp.zeros_like(zacc_r)
+        zacc_i[:] = jnp.zeros_like(zacc_i)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    siota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        meta = tmeta_ref[t]
+        base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+        if pat_mode:
+            r0 = _whdia_tile_r0(r0_src, t, siota)
+        else:
+            r0 = r0_src[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        rq = jax.lax.shift_right_arithmetic(r0, jnp.int32(7))
+        rr = jax.lax.bitwise_and(r0, jnp.int32(127))
+        pt = jnp.clip(rq + (lane < rr).astype(jnp.int32), 0,
+                      window_pages - 1)
+        idx = jax.lax.bitwise_and(r0 + lane, jnp.int32(127))
+        if window_pages == 8:
+            pt7, blk = pt, None
+        else:
+            pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+            blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+
+        def wgather(x_vmem):
+            win8 = x_vmem[pl.ds(base, 8), :]
+            h1 = jnp.take_along_axis(win8, pt7, axis=0)
+            if window_pages != 8:
+                for wb in range(1, window_pages // 8):
+                    winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
+                    hb = jnp.take_along_axis(winb, pt7, axis=0)
+                    h1 = jnp.where(blk == wb, hb, h1)
+            return jnp.take_along_axis(h1, idx, axis=1)
+
+        gr = wgather(xr_vmem)
+        gi = wgather(xi_vmem)
+        vr = vr_ref[k * 8:(k + 1) * 8, :]
+        vi = vi_ref[k * 8:(k + 1) * 8, :]
+        hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+        sl = pl.ds(hh + (k % 2) * gh, 1)
+        zacc_r[sl, :, :] += (vr * gr - vi * gi)[None]
+        zacc_i[sl, :, :] += (vr * gi + vi * gr)[None]
+
+    nc = pl.num_programs(0)
+    last = jnp.logical_or(
+        c == nc - 1, cgroup_ref[c] != cgroup_ref[jnp.minimum(c + 1, nc - 1)])
+
+    @pl.when(last)
+    def _():
+        z_ref[0] = zacc_r[:].reshape(2, gh, 8, 128).sum(axis=(0, 2))
+        z_ref[1] = zacc_i[:].reshape(2, gh, 8, 128).sum(axis=(0, 2))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "pat_mode", "interpret"))
+def _whdia_cplx_call(vr, vi, slot_r0, tile_base, chunk_group,
+                     xr2d, xi2d, tile_r0=None, *, num_tiles, num_groups,
+                     x_pages, window_pages=8, chunk_tiles=_WHDIA_CT,
+                     group_hacks=32, pat_mode=False, interpret=False):
+    ct, gh = chunk_tiles, group_hacks
+    num_chunks = num_tiles // ct
+    pat = pat_mode
+    in_specs = [
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # vr
+        pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # vi
+        pl.BlockSpec(memory_space=pl.ANY),  # xr (HBM, staged once)
+        pl.BlockSpec(memory_space=pl.ANY),  # xi
+    ]
+    if not pat:
+        in_specs.insert(2, pl.BlockSpec((ct * 8, 128),
+                                        lambda c, *_: (c, 0)))  # r0 slab
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 if pat else 2,
+        grid=(num_chunks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (2, gh, 128), (lambda c, tm, cg, tr: (0, cg[c], 0)) if pat
+            else (lambda c, tm, cg: (0, cg[c], 0))
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * gh, 8, 128), vr.dtype),  # re dual planes
+            pltpu.VMEM((2 * gh, 8, 128), vr.dtype),  # im dual planes
+            pltpu.VMEM((x_pages, 128), vr.dtype),
+            pltpu.VMEM((x_pages, 128), vr.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    ops = ((tile_base, chunk_group, tile_r0, vr, vi, xr2d, xi2d) if pat
+           else (tile_base, chunk_group, vr, vi, slot_r0, xr2d, xi2d))
+    return pl.pallas_call(
+        functools.partial(_whdia_cplx_kernel, window_pages=window_pages,
+                          chunk_tiles=ct, group_hacks=gh, pat_mode=pat),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, num_groups * gh, 128), vr.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * (8 if pat else 10)
+            + 2 * x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(*ops)
+
+
+def whdia_spmv_cplx_pallas(a, x, alpha=1.0, beta=0.0, y=None,
+                           interpret: bool = False):
+    """Fused one-pass complex WHDIA SpMV on a
+    :class:`~spgpu_tpu.formats.cplanes.ComplexPlanes` whose planes are
+    plain :class:`WhdiaMatrix` (C precision).  ``x``: ``(2, n)``
+    [re, im] stack; returns the same.  Z (dd) and blocked layouts take
+    the plane-product path."""
+    ar, ai = a.ar, a.ai
+    xr2d = _prep_x(x[0], ar.n_cols, ar.x_pages)
+    xi2d = _prep_x(x[1], ar.n_cols, ar.x_pages)
+    z = _whdia_cplx_call(
+        ar.values, ai.values, ar.slot_r0, ar.tile_base, ar.chunk_group,
+        xr2d, xi2d, ar.tile_r0,
+        num_tiles=ar.num_tiles, num_groups=ar.num_groups,
+        x_pages=ar.x_pages, window_pages=ar.window_pages,
+        chunk_tiles=ar.chunk_tiles, group_hacks=ar.group_hacks,
+        pat_mode=ar.tile_r0 is not None, interpret=interpret)
+    zz = z.reshape(2, -1)[:, : ar.n_rows]
+    from spgpu_tpu.ops import _complex_epilogue
+
+    return _complex_epilogue(zz, alpha, beta, y, is_dd=False)
+
+
 def _whdia_dd_kernel(tmeta_ref, cgroup_ref, vh_ref, vl_ref, r0_ref,
                      x_hbm_ref, z_ref, zacc, x_vmem, xsem, *, window_pages,
                      chunk_tiles, group_hacks, interpret):
@@ -1624,6 +1845,7 @@ def whell_spmv_pallas(a: WhellMatrix, x, alpha=1.0, beta=0.0, y=None,
             x_pages=a.x_pages, window_pages=a.window_pages,
             chunk_tiles=a.chunk_tiles, group_hacks=a.group_hacks,
             pipeline=pipeline, interpret=interpret,
+            unit_segments=a.unit_segments,
         )
         acc = z.reshape(-1)[: a.n_rows]
         is_zero = isinstance(beta, (int, float)) and beta == 0

@@ -541,6 +541,7 @@ def blocks_spmv_tuple(a: BlockedPackedWhell, xs: tuple, interpret=None):
                 x_pages=mat.x_pages, window_pages=mat.window_pages,
                 chunk_tiles=mat.chunk_tiles, group_hacks=mat.group_hacks,
                 halo_page=halo_page, interpret=interpret,
+                unit_segments=mat.unit_segments,
             ).reshape(2, -1)
         else:
             x2d = xs[s].reshape(-1, _HACK)  # x_pages == n_lane/128: free
@@ -552,6 +553,7 @@ def blocks_spmv_tuple(a: BlockedPackedWhell, xs: tuple, interpret=None):
                 x_pages=mat.x_pages, window_pages=mat.window_pages,
                 chunk_tiles=mat.chunk_tiles, group_hacks=mat.group_hacks,
                 halo_page=halo_page, interpret=interpret,
+                unit_segments=mat.unit_segments,
             ).reshape(-1)
         outs.append(z)
     return tuple(outs)

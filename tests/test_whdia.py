@@ -11,6 +11,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from spgpu_tpu import convert, ops
 from spgpu_tpu.convert.whdia import coo_to_whdia
 from spgpu_tpu.formats.coo import CooMatrix
 from spgpu_tpu.ops.pallas_kernels import whdia_spmv_pallas
@@ -125,3 +126,34 @@ def test_row_blocked_whdia_dd(monkeypatch):
         interpret=True)
     np.testing.assert_allclose(ddm.join(np.asarray(z)), coo.spmv(x),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_complex_fused_one_pass(rng):
+    """r5: the fused one-pass complex kernel (one decode, shared xr/xi
+    gathers, 4 fmas — ``hell_cspmv.cu:29`` ``cuCfma`` parity) matches
+    both the plane-product path and the host golden, in pattern AND
+    slab r0 modes, with complex alpha/beta."""
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.utils.fixtures import laplacian_2d, random_banded
+
+    for base in (random_banded(2000, bands=9, wander=5, seed=3,
+                               dtype=np.float64).sum_duplicates(),
+                 laplacian_2d(40, 40, np.float64)):
+        cm = CooMatrix(base.rows, base.cols,
+                       (base.values + 1j * rng.standard_normal(base.nnz))
+                       .astype(np.complex64), base.n_rows, base.n_cols)
+        a = convert.coo_to_whdia(cm)
+        xc = (rng.standard_normal(cm.n_cols)
+              + 1j * rng.standard_normal(cm.n_cols)).astype(np.complex64)
+        x = jnp.asarray(np.stack([xc.real, xc.imag]).astype(np.float32))
+        yc = (rng.standard_normal(cm.n_rows)
+              + 1j * rng.standard_normal(cm.n_rows)).astype(np.complex64)
+        y = jnp.asarray(np.stack([yc.real, yc.imag]).astype(np.float32))
+        al, be = 2 - 1j, 0.5 + 2j
+        zf = np.asarray(ops.whdia_spmv(a, x, al, be, y))
+        zp = np.asarray(ops.whdia_spmv(a, x, al, be, y, fused=False))
+        g = al * cm.spmv(xc.astype(np.complex128)) + be * yc
+        for z, tag in ((zf, "fused"), (zp, "plane")):
+            err = np.linalg.norm(z[0] + 1j * z[1] - g) / np.linalg.norm(g)
+            assert err < 2e-5, (tag, err)
+        np.testing.assert_allclose(zf, zp, rtol=2e-5, atol=2e-5)
