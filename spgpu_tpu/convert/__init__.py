@@ -16,6 +16,7 @@ from spgpu_tpu.convert.whell import (
 from spgpu_tpu.convert.pcell import coo_to_whell_percell
 from spgpu_tpu.convert.sdia import coo_to_sdia, dia_to_sdia
 from spgpu_tpu.convert.whdia import coo_to_whdia
+from spgpu_tpu.convert.hybrid import coo_to_hybrid, hybrid_split_stats
 from spgpu_tpu.convert.select import estimate_formats, suggest_format
 from spgpu_tpu.convert.host import (
     bcoo_to_bhdia,
@@ -45,6 +46,8 @@ __all__ = [
     "coo_to_sdia",
     "dia_to_sdia",
     "coo_to_whdia",
+    "coo_to_hybrid",
+    "hybrid_split_stats",
     "degree_sort_perm",
     "local_degree_perm",
     "estimate_formats",

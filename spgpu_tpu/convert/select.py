@@ -63,9 +63,38 @@ def estimate_formats(coo: CooMatrix, itemsize: int = 4) -> Dict[str, FormatEstim
     # WHDIA: distinct (hack, diagonal) pairs × 128 lanes, values only.
     # diag spans [-(n-1), n_cols-1]: bias by n and pack with span n+n_cols
     # so keys stay collision-free for rectangular shapes.
-    hd = np.unique(hack.astype(np.int64) * (n + coo.n_cols) + (diag + n)).size
+    occ = np.unique(hack.astype(np.int64) * (n + coo.n_cols) + (diag + n),
+                    return_counts=True)[1]
+    hd = occ.size
     cells = hd * 128
     out["whdia"] = FormatEstimate("whdia", cells * itemsize, cells / m)
+
+    # HYBRID (HYB-class, round 5): entries on diagonals filling >= tau
+    # of a hack's 128 lanes -> values-only WHDIA, rest -> packed WHELL
+    # (modeled at the measured flagship pad 1.74).  Admissible only
+    # when some threshold captures >= 25% of entries.  NOTE: the
+    # estimate is a TRAFFIC model only — chip-REFUTED as a selection
+    # target (doc/DESIGN.md §2i): on mixed banded+irregular fixtures
+    # the hybrid moved 0.7x the bytes of pure packed WHELL but ran
+    # 0.68x the speed (rest-part raggedness inflates 2.4->3.8 pad, the
+    # lane-space crossing costs ~0.11 ms/product, and two kernels
+    # pipeline worse than one) — :func:`suggest_format` therefore never
+    # returns "hybrid"; the estimate row stays for tooling/evidence.
+    if coo.n_rows == coo.n_cols:
+        best = None
+        for t in (16, 32, 48, 64, 96, 128):
+            sel = occ >= t
+            bn = int(occ[sel].sum())
+            if bn < 0.25 * m:
+                continue
+            bcells = int(sel.sum()) * 128
+            rcells = (m - bn) * 1.74
+            by = (bcells * itemsize + rcells * (itemsize + 2)
+                  + n * 2 * itemsize)
+            if best is None or by < best[0]:
+                best = (by, bcells + rcells)
+        if best is not None:
+            out["hybrid"] = FormatEstimate("hybrid", best[0], best[1] / m)
 
     # WHELL: classic-layout cells — sum over (hack, superpage) groups of
     # max-per-row count × 128 — scaled by the measured packed-layout
@@ -97,6 +126,12 @@ def estimate_formats(coo: CooMatrix, itemsize: int = 4) -> Dict[str, FormatEstim
 
 def suggest_format(coo: CooMatrix, itemsize: int = 4) -> str:
     """Pick the format with the least per-product slab traffic — the
-    TPU analogue of diaPerf's DIA-fits-in-memory fallback."""
+    TPU analogue of diaPerf's DIA-fits-in-memory fallback.
+
+    "hybrid" is excluded: its traffic model under-prices the two-space
+    crossing and second-kernel dispatch, which chip measurements show
+    dominate (DESIGN §2i — hybrid lost to pure packed WHELL on every
+    mixed fixture measured despite moving ~0.7x the bytes)."""
     est = estimate_formats(coo, itemsize)
-    return min(est.values(), key=lambda e: e.bytes_per_product).fmt
+    return min((e for k, e in est.items() if k != "hybrid"),
+               key=lambda e: e.bytes_per_product).fmt

@@ -21,8 +21,10 @@ from spgpu_tpu.formats.hdia import HdiaMatrix
 from spgpu_tpu.formats.bcoo import BcooMatrix, BhdiaMatrix
 from spgpu_tpu.formats.whell import WhellMatrix
 from spgpu_tpu.formats.whdia import WhdiaMatrix
+from spgpu_tpu.formats.hybrid import HybridMatrix
 
 __all__ = [
+    "HybridMatrix",
     "CooMatrix",
     "EllMatrix",
     "HellMatrix",

@@ -32,7 +32,7 @@ __all__ = [
     "spmv",
     "ell_spmv", "hell_spmv", "dia_spmv", "hdia_spmv", "bcoo_spmv",
     "whell_spmv", "whell_spmm", "whdia_spmv", "whdia_spmm",
-    "sdia_spmv", "sdia_spmm",
+    "sdia_spmv", "sdia_spmm", "hybrid_spmv",
     "ell_csput", "hell_csput",
 ] + blas1.__all__
 
@@ -329,21 +329,40 @@ def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
     return whell_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
 
 
-def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
+               fused=None):
     """SpMV on the WHDIA compute layout (the Pallas TPU fast path for
     HDIA-class matrices; see :mod:`spgpu_tpu.formats.whdia`).  Double-
     float matrices (float64 values) take/return ``(2, n)`` hi/lo
-    stacks."""
+    stacks.
+
+    Complex (C-precision) WHDIA matrices default to the FUSED one-pass
+    kernel (r5): one decode + shared xr/xi gathers + 4 fmas per tile,
+    8 B/cell traffic vs the plane-pair path's 16 (``hell_cspmv.cu:29``
+    one-pass ``cuCfma`` parity).  ``fused=False`` forces the 4-product
+    plane path; Z (dd-complex) and blocked layouts always take it."""
     from spgpu_tpu.ops.pallas_kernels import (
+        whdia_spmv_cplx_pallas,
         whdia_spmv_dd_pallas,
         whdia_spmv_pallas,
     )
 
     from spgpu_tpu.formats.cplanes import ComplexPlanes
+    from spgpu_tpu.formats.whdia import WhdiaMatrix
 
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(a, ComplexPlanes):
+        can_fuse = (not a.is_dd and isinstance(a.ar, WhdiaMatrix)
+                    and isinstance(a.ai, WhdiaMatrix))
+        if fused and not can_fuse:
+            raise NotImplementedError(
+                "fused complex WHDIA covers C-precision plain WhdiaMatrix "
+                "planes; Z (dd) and blocked layouts run the plane-product "
+                "path (omit fused or pass fused=False)")
+        if can_fuse and fused is not False:
+            return whdia_spmv_cplx_pallas(a, x, alpha, beta, y,
+                                          interpret=interpret)
         return _complex_plane_spmv(
             lambda m, v: whdia_spmv(m, v, interpret=interpret),
             a, x, alpha, beta, y)
@@ -453,6 +472,42 @@ def whdia_spmm(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     return alpha * zs + beta * y
 
 
+def hybrid_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+    """SpMV on the HYB-class hybrid split (band: WHDIA values-only,
+    rest: packed WHELL) — both parts and the lane-space crossing under
+    one jit, summed (``cusparsePerf.cpp:668-680`` HYB parity, TPU-
+    first: the crossing is a static-slice concat, not a gather).
+
+    ``x``/``z`` are ORIGINAL-space vectors (dd: ``(2, n)`` hi/lo
+    stacks)."""
+    import jax.numpy as jnp
+
+    z = None
+    if a.band is not None:
+        z = whdia_spmv(a.band, x, interpret=interpret)
+    if a.rest is not None:
+        zr = a.extract_rest(
+            whell_spmv(a.rest, a.embed_rest(x), interpret=interpret))
+        if z is None:
+            z = zr
+        elif a.is_dd:
+            from spgpu_tpu.ops import dd as _dd
+
+            h, l = _dd.dd_add_dd(z[0], z[1], zr[0], zr[1])
+            z = jnp.stack([h, l])
+        else:
+            z = z + zr
+    if a.is_dd:
+        return _dd_epilogue(z, alpha, beta, y)
+    is_zero = isinstance(beta, (int, float)) and beta == 0
+    if (is_zero or y is None) and isinstance(alpha, (int, float)) \
+            and alpha == 1:
+        return z
+    if is_zero or y is None:
+        return alpha * z
+    return alpha * z + beta * y
+
+
 def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
     """Format-generic ``z = beta*y + alpha*(A @ x)``: dispatches on the
     matrix type (every format dataclass routes to its op)."""
@@ -461,6 +516,7 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
         SdiaMatrix, WhdiaMatrix, WhellMatrix,
     )
     from spgpu_tpu.formats.cplanes import ComplexPlanes
+    from spgpu_tpu.formats.hybrid import HybridMatrix
     from spgpu_tpu.formats.whdia import BlockedWhdia
     from spgpu_tpu.formats.whell import (
         PanelledWhell, PcellWhell, SegmentedWhell, WhellComplex,
@@ -474,9 +530,21 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
 
         z = blocks_spmv(a, x, **kw)
         is_zero = isinstance(beta, (int, float)) and beta == 0
+        if (is_zero or y is None) and isinstance(alpha, (int, float)) \
+                and alpha == 1:
+            return z
+        if a.is_dd:
+            # (S, 2, L) hi/lo block stacks: the plain alpha*z + beta*y
+            # would collapse the error-free double-float discipline —
+            # run the dd epilogue over a (2, S, L) view (elementwise
+            # EFTs, so the extra block axis is transparent).
+            import jax.numpy as jnp
+
+            zt = _dd_epilogue(jnp.swapaxes(z, 0, 1), alpha, beta,
+                              None if y is None else jnp.swapaxes(y, 0, 1))
+            return jnp.swapaxes(zt, 0, 1)
         if is_zero or y is None:
-            return z if isinstance(alpha, (int, float)) and alpha == 1 \
-                else alpha * z
+            return alpha * z
         return alpha * z + beta * y
 
     table = {
@@ -494,6 +562,7 @@ def spmv(a, x, alpha=1.0, beta=0.0, y=None, **kw):
         WhdiaMatrix: whdia_spmv,
         BlockedWhdia: whdia_spmv,
         BlockedPackedWhell: _blocks_spmv,
+        HybridMatrix: hybrid_spmv,
     }
     if isinstance(a, ComplexPlanes):
         fn = sdia_spmv if isinstance(a.ar, SdiaMatrix) else whdia_spmv

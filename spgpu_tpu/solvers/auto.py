@@ -36,9 +36,10 @@ def solve(
 
     ``symmetric=True`` runs CG (SPD systems), else BiCGSTAB.  ``fmt``
     overrides the automatic layout choice
-    ("whell" | "sdia" | "whdia" | "hell" | "blocks" | "pcell" —
-    "blocks" forces the row-blocked packed layout regardless of size,
-    "pcell" the per-cell-routing layout).
+    ("whell" | "sdia" | "whdia" | "hybrid" | "hell" | "blocks" |
+    "pcell" — "blocks" forces the row-blocked packed layout regardless
+    of size, "hybrid" the HYB-class banded+irregular split, "pcell" the
+    per-cell-routing layout).
     Returns a :class:`~spgpu_tpu.solvers.cg.CgResult` whose ``x`` is in
     the ORIGINAL row numbering (relabelling is internal).
     """
@@ -133,6 +134,17 @@ def solve(
     elif fmt == "whdia":
         a = coo_to_whdia(work)
         mv = lambda v: whdia_spmv(a, v)
+        is_dd = a.is_dd
+    elif fmt == "hybrid":
+        # HYB-class banded+irregular split (cusparsePerf.cpp:668-680
+        # parity): band → WHDIA values-only, rest → packed WHELL; the
+        # solve iterates ORIGINAL-space vectors (the lane-space crossing
+        # is internal to hybrid_spmv)
+        from spgpu_tpu.convert import coo_to_hybrid
+        from spgpu_tpu.ops import hybrid_spmv
+
+        a = coo_to_hybrid(work)
+        mv = lambda v: hybrid_spmv(a, v)
         is_dd = a.is_dd
     elif fmt == "hell":
         a = coo_to_hell(work)
@@ -251,7 +263,10 @@ def _solve_complex(coo, b, symmetric, tol, maxiter, x0, fmt=None):
 
     if fmt is None:
         fmt = suggest_format(coo)
-        fmt = {"dia": "sdia", "ell": "whell"}.get(fmt, fmt)
+        # complex matrices run plane pairs; the hybrid split is
+        # real-only, so band-heavy complex systems take plane-pair WHDIA
+        fmt = {"dia": "sdia", "ell": "whell",
+               "hybrid": "whdia"}.get(fmt, fmt)
         if fmt == "sdia":
             # two fp32 planes (4 dd) must share the kernel's VMEM budget
             plane_b = 8 if coo.values.dtype == np.complex128 else 4
