@@ -397,16 +397,15 @@ def run_weak_scaling(rows_per_shard: int = 65536, shards=(1, 2, 4, 8),
         }
         if breakdown:
             def coll_body(lpm, xb):
-                xl = xb[0]
-                send = xl[lpm.send_lane_idx[0]]
-                halo = jax.lax.all_to_all(send, "rows", 0, 0).reshape(-1)
-                return xl.at[lpm.halo_lanes[0]].set(halo)[None]
+                from spgpu_tpu.parallel.dist_spmv import _halo_exchange
+
+                return _halo_exchange(pm, "rows", lpm, xb[0])[None]
 
             def int_body(lpm, xb):
                 from spgpu_tpu.ops import whell_spmv
 
                 a = pm.local_view(lpm)
-                return whell_spmv(a, xb[0][: a.n_cols])[None]
+                return whell_spmv(a, xb[0][..., : a.n_cols])[None]
 
             stage_fns = {"coll": smap(coll_body), "int": smap(int_body)}
             if pm.overlapped:
@@ -414,7 +413,7 @@ def run_weak_scaling(rows_per_shard: int = 65536, shards=(1, 2, 4, 8),
                     from spgpu_tpu.ops import whell_spmv
 
                     a = pm.local_view_ext(lpm)
-                    return whell_spmv(a, xb[0][: a.n_cols])[None]
+                    return whell_spmv(a, xb[0][..., : a.n_cols])[None]
 
                 stage_fns["ext"] = smap(ext_body)
             t_sum = 0.0
@@ -427,9 +426,16 @@ def run_weak_scaling(rows_per_shard: int = 65536, shards=(1, 2, 4, 8),
             row["overlap_gain_s"] = round(t_sum - t, 9)
             used = sum(sum(p) for p in pm.halo_counts) if pm.halo_counts \
                 else 0
-            sent = S * S * pm.halo_width
+            if getattr(pm, "halo_offsets", ()):
+                # ragged plan (r5): one ppermute per live offset, each
+                # at its own width with zero-width pairs omitted
+                sent = sum(len(perm) * pm.halo_send_off[i].shape[1]
+                           for i, (_o, perm) in enumerate(pm.halo_offsets))
+            else:
+                sent = S * S * pm.halo_width
             row["halo_lanes_used"] = used
             row["halo_slots_sent"] = sent
+            row["halo_bytes_per_iter"] = sent * 4
             row["k_padding_waste"] = round(1.0 - used / sent, 4) if sent \
                 else 0.0
         rows.append(row)

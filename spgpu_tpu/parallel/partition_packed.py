@@ -100,6 +100,18 @@ class PackedPartition:
     #: ``bench.harness.run_weak_scaling``)
     halo_counts: tuple = dataclasses.field(metadata=dict(static=True),
                                            default=())
+    # --- ragged per-offset exchange plan (r5): pairs bucketed by ring
+    # offset o = (requester - owner) mod S, one ``lax.ppermute`` per
+    # LIVE offset at that offset's own width (zero-width pairs are
+    # omitted from the perm) — replaces the global-max-K all-to-all
+    # whose padding waste measured 75-94% on banded partitions (SURVEY
+    # §7 ragged-halo contract; the pack/unpack primitives match
+    # ``gath_base.cuh:32-85``).  Empty tuples -> legacy all_to_all.
+    halo_send_off: tuple = ()  # of (S, K_o) int32 owner lane coords
+    halo_recv_off: tuple = ()  # of (S, K_o) int32 requester halo lanes
+    #: static ((offset, ((src, dst), ...)), ...) ppermute specs
+    halo_offsets: tuple = dataclasses.field(metadata=dict(static=True),
+                                            default=())
 
     @property
     def is_dd(self) -> bool:
@@ -551,6 +563,50 @@ def partition_coo_rows_packed(
         send_lane[p] = lor_st[p, send_idx[p]]
     halo_lanes = lor_st[:, chunk:]
 
+    # ragged per-offset exchange plan (r5): one ppermute per live ring
+    # offset at that offset's own width; zero-width pairs omitted from
+    # the perm entirely, so the bytes on the wire track the REAL halo
+    # instead of S*S*K_global (measured waste 75-94% on banded
+    # partitions at 2-8 shards — BASELINE.md r4 weak-scaling row)
+    halo_send_off, halo_recv_off, halo_offsets = [], [], []
+    S = n_shards
+    for o in range(1, S):
+        pairs = [(p, (p + o) % S, halo_counts[p][(p + o) % S])
+                 for p in range(S)]
+        pairs = [t for t in pairs if t[2] > 0]
+        if not pairs:
+            continue
+        # sub-bucket the offset's pairs by width so every ppermute
+        # carries near-exact widths (within-bucket max/min <= 4/3 ->
+        # per-bucket padding waste <= 25% even on ragged-width
+        # partitions; one live offset with widths spanning 10x costs a
+        # handful of buckets, not S*K_global padding)
+        pairs.sort(key=lambda t: -t[2])
+        i = 0
+        while i < len(pairs):
+            wmax = pairs[i][2]
+            bucket = [pairs[i]]
+            i += 1
+            while i < len(pairs) and pairs[i][2] >= 0.75 * wmax:
+                bucket.append(pairs[i])
+                i += 1
+            Ko = round_up(wmax, 8)  # <= K by construction
+            snd = np.zeros((S, Ko), np.int32)
+            rcv = np.zeros((S, Ko), np.int32)
+            perm = []
+            for p, s, c in bucket:
+                snd[p, :c] = send_lane[p, s, :c]
+                # requester-side scatter targets: the pair's phantom
+                # slots; padding (c..Ko) lands in the pair's UNUSED
+                # phantom lanes — no matrix entry reads them, so the
+                # junk x is inert (the legacy all_to_all wrote all S*K
+                # slots the same way)
+                rcv[s] = halo_lanes[s, p * K + np.arange(Ko)]
+                perm.append((p, s))
+            halo_send_off.append(jnp.asarray(snd))
+            halo_recv_off.append(jnp.asarray(rcv))
+            halo_offsets.append((o, tuple(perm)))
+
     st = {k: (jnp.asarray(np.stack(v)) if v else None)
           for k, v in leaves.items()}
     return PackedPartition(
@@ -571,4 +627,7 @@ def partition_coo_rows_packed(
         total_slots=tiles_c * 8, x_pages=xp_c, window_pages=wsel,
         group_hacks=gh, chunk_tiles=ct, ext_total_slots=ext_tiles_c * 8,
         ext_chunk_tiles=ct_ext, halo_counts=halo_counts,
+        halo_send_off=tuple(halo_send_off),
+        halo_recv_off=tuple(halo_recv_off),
+        halo_offsets=tuple(halo_offsets),
     )

@@ -119,3 +119,28 @@ def test_weak_scaling_breakdown_keys():
                     "k_padding_waste"):
             assert key in r, key
     assert rows[1]["halo_lanes_used"] > 0
+
+
+def test_ragged_halo_waste_bound():
+    """r5: the per-(offset, width-bucket) ppermute plan keeps the halo
+    padding waste <= 0.25 at 8 shards on the banded weak-scaling
+    fixture (the legacy global-max-K all_to_all measured 0.94 —
+    BASELINE.md r4; SURVEY §7 ragged-all-to-all contract)."""
+    from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    S = 8
+    n = 8192 * S
+    coo = random_banded(n, bands=11, wander=3, seed=2,
+                        dtype=np.float32).sum_duplicates()
+    pm = partition_coo_rows_packed(coo, S)
+    assert pm.halo_offsets, "ragged plan missing"
+    used = sum(sum(p) for p in pm.halo_counts)
+    sent = sum(len(perm) * pm.halo_send_off[i].shape[1]
+               for i, (_o, perm) in enumerate(pm.halo_offsets))
+    assert used > 0
+    assert 1.0 - used / sent <= 0.25
+    # every bucket's perm omits zero-width pairs
+    for i, (_o, perm) in enumerate(pm.halo_offsets):
+        for (p, s) in perm:
+            assert pm.halo_counts[p][s] > 0
