@@ -30,7 +30,8 @@ try:  # populated in M4; keep the package importable while building up
         coo_to_whell_blocks,
     )
     from spgpu_tpu.parallel.dist_spmv import dist_spmv, make_dist_matvec  # noqa: F401
-    from spgpu_tpu.parallel.dist_solve import dist_bicgstab, dist_cg  # noqa: F401
+    from spgpu_tpu.parallel.dist_solve import (  # noqa: F401
+        DistSolveHandle, dist_bicgstab, dist_cg)
 
     __all__ += [
         "PartitionedMatrix",
@@ -47,6 +48,7 @@ try:  # populated in M4; keep the package importable while building up
         "make_dist_matvec",
         "dist_cg",
         "dist_bicgstab",
+        "DistSolveHandle",
     ]
 except ImportError:  # pragma: no cover
     pass

@@ -363,3 +363,54 @@ def test_packed_partition_every_group_has_a_chunk():
     z = np.asarray(dist_spmv(pm, jnp.asarray(x), make_row_mesh(2)))
     ref = coo.spmv(x)
     assert np.abs(z - ref).max() / max(np.abs(ref).max(), 1) < 1e-4
+
+
+def test_dist_solve_handle_compile_once():
+    """r5 pod-run API: DistSolveHandle traces each (symmetric, tol,
+    maxiter) program ONCE — a second solve with a new b reuses the
+    executable (the reference's one-handle-many-calls contract,
+    core.h:60-82)."""
+    from spgpu_tpu.parallel.dist_solve import DistSolveHandle
+    from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+    from spgpu_tpu.utils.fixtures import laplacian_2d
+
+    coo = laplacian_2d(64, 64, np.float32)
+    pm = partition_coo_rows_packed(coo, 4)
+    mesh = make_row_mesh(4)
+    h = DistSolveHandle(pm, mesh)
+    rng = np.random.default_rng(0)
+    b1 = rng.standard_normal(coo.n_rows).astype(np.float32)
+    b2 = rng.standard_normal(coo.n_rows).astype(np.float32)
+    r1 = h.solve(b1, tol=1e-6, maxiter=500)
+    r2 = h.solve(b2, tol=1e-6, maxiter=500)
+    key = (True, 1e-6, 500)
+    assert h.trace_counts[key] == 1, h.trace_counts
+    for b, r in ((b1, r1), (b2, r2)):
+        resid = np.linalg.norm(b - coo.spmv(np.asarray(r.x, np.float64))) \
+            / np.linalg.norm(b)
+        assert resid < 1e-4
+
+
+def test_sharded_handle_complex():
+    """r5: ShardedHandle covers ComplexPackedPartition — device-resident
+    plane-pair matvec loop with no per-call retrace."""
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.parallel.dist_spmv import ShardedHandle
+    from spgpu_tpu.parallel.partition_packed import partition_coo_rows_packed
+    from spgpu_tpu.utils.fixtures import random_banded
+
+    rng = np.random.default_rng(4)
+    base = random_banded(2048, bands=7, wander=3, seed=1,
+                         dtype=np.float64).sum_duplicates()
+    cm = CooMatrix(base.rows, base.cols,
+                   (base.values + 1j * rng.standard_normal(base.nnz))
+                   .astype(np.complex64), base.n_rows, base.n_cols)
+    pm = partition_coo_rows_packed(cm, 2)
+    mesh = make_row_mesh(2)
+    h = ShardedHandle(pm, mesh)
+    xc = (rng.standard_normal(cm.n_cols)
+          + 1j * rng.standard_normal(cm.n_cols)).astype(np.complex64)
+    st = h.embed(xc)
+    z = h.extract(h.matvec(st))
+    g = cm.spmv(xc.astype(np.complex128))
+    assert np.linalg.norm(z - g) / np.linalg.norm(g) < 1e-5
