@@ -19,7 +19,7 @@ import threading
 import numpy as np
 
 __all__ = ["available", "whell_assign", "whell_chunk_tiles", "whdia_tile",
-           "whell_hack_fill"]
+           "whell_hack_fill", "mm_parse"]
 
 _lock = threading.Lock()
 _lib = None
@@ -92,6 +92,11 @@ def _load():
                 i64p, ctypes.c_void_p, i64p, i64p, i64p, i64p, i8p, i8p,
                 ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, i8p, i8p, i64p]
+            lib.mm_parse.restype = ctypes.c_int64
+            lib.mm_parse.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i64p, i64p,
+                ctypes.POINTER(ctypes.c_double)]
             _lib = lib
         except Exception:
             _lib = None
@@ -319,3 +324,37 @@ def whell_assign(G: np.ndarray, lane: np.ndarray, res: np.ndarray,
     out = np.empty(m, dtype=np.int64)
     lib.whell_assign(_p(G), _p(lane), _p(res), _p(dlt), m, _p(out))
     return out
+
+
+def mm_parse(buf: bytes, ntok: int, nnz: int):
+    """Parallel strict tokenizer for a Matrix Market coordinate body.
+
+    ``ntok`` = tokens per line (2 pattern / 3 real-integer / 4 complex);
+    returns ``(rows, cols, vals)`` int64/int64/float64 arrays (``vals``
+    shape ``(n, 2)`` for complex, ``(n,)`` real/integer, size 0
+    pattern), or ``None`` when the native library is unavailable OR the
+    body is malformed / line-misaligned (callers fall back to
+    ``np.loadtxt``).  Row/col are returned 1-BASED as in the file."""
+    lib = _load()
+    if lib is None:
+        return None
+    if isinstance(buf, str):
+        buf = buf.encode("ascii", errors="replace")
+    nval = ntok - 2
+    cap = nnz + 8
+    rows = np.empty(cap, dtype=np.int64)
+    cols = np.empty(cap, dtype=np.int64)
+    vals = np.empty(cap * (2 if nval == 2 else 1) if nval else 1,
+                    dtype=np.float64)
+    n = lib.mm_parse(
+        buf, len(buf), ntok, cap, _p(rows), _p(cols),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if n != nnz:
+        return None
+    if nval == 2:
+        v = vals[: 2 * n].reshape(n, 2)
+    elif nval == 1:
+        v = vals[:n]
+    else:
+        v = vals[:0]
+    return rows[:n], cols[:n], v

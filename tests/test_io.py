@@ -5,6 +5,8 @@ import io
 
 import numpy as np
 
+import pytest
+
 from spgpu_tpu.io import read_mm, read_mm_properties, write_mm
 from spgpu_tpu.formats import CooMatrix
 from spgpu_tpu.utils import laplacian_2d
@@ -194,3 +196,38 @@ def test_bench_mtx_complex(tmp_path):
     assert stages[0]["nnz"] == A.nnz
     assert stages[2]["stage"] == "spmv" and stages[2]["gflops"] > 0
     assert stages[3]["true_resid"] < 1e-3
+
+
+def test_fast_parse_matches_strtod():
+    """r5 parallel tokenizer: the long-double Clinger fast path must
+    reproduce strtod bit-exactly on %.17g round-trips across scales
+    (values outside the 19-digit/|e|<=27 window take the strtod
+    fallback inside mm_parse)."""
+    from spgpu_tpu import native
+
+    if not native.available():
+        pytest.skip("native helper unavailable")
+    rng = np.random.default_rng(3)
+    v = np.concatenate([
+        rng.standard_normal(20000),
+        rng.standard_normal(20000) * 10.0 ** rng.integers(-30, 30, 20000),
+        rng.standard_normal(5000) * 1e-300,
+        np.array([0.0, -0.0, 1e308, 1e-308, 1e27, 1e-27, 2.0 ** -1074]),
+    ])
+    body = "\n".join(f"1 1 {x:.17g}" for x in v) + "\n"
+    parsed = native.mm_parse(body.encode(), 3, v.size)
+    assert parsed is not None
+    np.testing.assert_array_equal(parsed[2], v)
+
+
+def test_misaligned_body_rejected(tmp_path):
+    """ADVICE r4: a structurally misaligned body (line with the wrong
+    token count) must error loudly, never silently reshape."""
+    p = tmp_path / "bad.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "3 3 3\n"
+        "1 1 2.0\n"
+        "2 2 3.0 3 3 4.0\n")  # two entries merged on one line
+    with pytest.raises(ValueError):
+        read_mm(str(p))
