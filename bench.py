@@ -46,10 +46,11 @@ def main_mtx(argv):
     import jax.numpy as jnp
 
     from spgpu_tpu.convert import (
-        coo_to_sdia, coo_to_whdia, coo_to_whell, suggest_format)
+        coo_to_hybrid, coo_to_sdia, coo_to_whdia, coo_to_whell,
+        suggest_format)
     from spgpu_tpu.core import hbm_bandwidth
     from spgpu_tpu.io.mm import read_mm, read_mm_properties
-    from spgpu_tpu.ops import sdia_spmv, whdia_spmv, whell_spmv
+    from spgpu_tpu.ops import hybrid_spmv, sdia_spmv, whdia_spmv, whell_spmv
     from spgpu_tpu.ops.blas1 import dot
     from spgpu_tpu.utils.timing import chained_time
 
@@ -71,6 +72,9 @@ def main_mtx(argv):
     if fmt is None:
         fmt = suggest_format(coo)
         fmt = {"dia": "sdia", "ell": "whell"}.get(fmt, fmt)
+        if fmt == "hybrid" and np.issubdtype(coo.values.dtype,
+                                             np.complexfloating):
+            fmt = "whdia"  # hybrid split is real-only; plane-pair WHDIA
         # per-column x bytes in the SDIA kernel's VMEM: fp32 4, dd and
         # complex64 8 (two planes), complex128 16 (dd plane pairs) —
         # mirrors solvers/auto's thresholds so the bench and the solver
@@ -80,8 +84,10 @@ def main_mtx(argv):
         if fmt == "sdia" and coo.n_cols * plane_b > 11 * 2 ** 20:
             fmt = "whdia"
     conv = {"whell": lambda c: coo_to_whell(c, packed=True),
-            "whdia": coo_to_whdia, "sdia": coo_to_sdia}[fmt]
-    op = {"whell": whell_spmv, "whdia": whdia_spmv, "sdia": sdia_spmv}[fmt]
+            "whdia": coo_to_whdia, "sdia": coo_to_sdia,
+            "hybrid": coo_to_hybrid}[fmt]
+    op = {"whell": whell_spmv, "whdia": whdia_spmv, "sdia": sdia_spmv,
+          "hybrid": hybrid_spmv}[fmt]
     t0 = time.perf_counter()
     a = conv(coo)
     t_conv = time.perf_counter() - t0
@@ -256,16 +262,144 @@ def _suite_rows():
     band_c = CooMatrix(bc.rows, bc.cols,
                        (bc.values + 1j * rng_c.standard_normal(bc.nnz))
                        .astype(np.complex64), bc.n_rows, bc.n_cols)
+    # default path is now the FUSED one-pass kernel (r5): both value
+    # planes stream once, shared decode/gathers — 8 B/cell (+2 shared
+    # r0 in slab mode) vs the plane-pair path's 16
     guard("whdia_c64_banded11_gflops", lambda: spmv_row(
         "whdia_c64_banded11_gflops", band_c, coo_to_whdia, whdia_spmv,
         lambda a: jnp.asarray(a.embed_complex(
             (rng_c.standard_normal(band_c.n_cols)
              + 1j * rng_c.standard_normal(band_c.n_cols))
             .astype(np.complex64))),
-        lambda a: 4 * (a.ar.values.size
-                       * (6 if a.ar.slot_r0 is not None else 4)
-                       + band_c.n_rows * 8),
+        lambda a: a.ar.values.size
+        * (10 if a.ar.slot_r0 is not None else 8) + band_c.n_rows * 16,
         lambda a: 8.0 * band_c.nnz, iters=30 if on_tpu else 2))
+
+    # -- bf16-values flagship (precision extension, honestly labelled:
+    # bytes/cell 6 -> 4; fp32 accumulate; the companion _relerr row is
+    # the accuracy cost so users can choose — VERDICT r4 #8) -----------
+    def bf16_row():
+        fem16 = random_fem_like((1 << 18) if on_tpu else 4000, 27.0,
+                                span=768, far_frac=0.01, seed=0,
+                                dtype=np.float32)
+        a = coo_to_whell(fem16, packed=True, dtype=jnp.bfloat16)
+        x = jnp.asarray(a.embed(np.random.default_rng(1).standard_normal(
+            fem16.n_cols)), jnp.float32)
+        z = np.asarray(whell_spmv(a, x), np.float64)
+        af = coo_to_whell(fem16, packed=True)
+        zf = np.asarray(whell_spmv(af, x), np.float64)
+        rel = float(np.linalg.norm(z - zf) / np.linalg.norm(zf))
+        t, _ = chained_time(lambda c, m: whell_spmv(m, c) * scale, x, a,
+                            iters_lo=100 if on_tpu else 3,
+                            iters_hi=1000 if on_tpu else 6)
+        traffic = a.values.size * 4 + fem16.n_rows * 8
+        emit("whell_bf16_flagship_gflops", 2.0 * fem16.nnz / t * 1e-9,
+             "GFLOP/s", traffic / t / bw)
+        emit("whell_bf16_flagship_relerr", rel, "rel_err_vs_fp32", rel)
+
+    guard("whell_bf16_flagship_gflops", bf16_row)
+
+    # -- large-matrix row-blocked path (4.2M rows fp32 + dd) + warm
+    # blocks-CG ms/iter — the r4 numbers existed only as BASELINE.md
+    # prose; a regression in parallel/blocks.py was driver-invisible
+    # (VERDICT r4 weak #6) ---------------------------------------------
+    def blocks_rows():
+        import time as _time
+
+        from spgpu_tpu.parallel.blocks import (
+            blocks_cg, blocks_spmv_tuple, coo_to_whell_blocks)
+
+        nb = (1 << 22) if on_tpu else (1 << 14)
+        nblk = None if on_tpu else 2  # tiny CPU config still multi-block
+        fem_l = random_fem_like(nb, 9.0, span=1200 if on_tpu else 200,
+                                far_frac=0.005 if on_tpu else 0.002,
+                                seed=5, dtype=np.float32)
+        a = coo_to_whell_blocks(fem_l, n_blocks=nblk)
+
+        def time_blocks(a, dd):
+            # the zero-copy tuple path on interval plans (the r3/r4
+            # production protocol); flat-gather plans (possible on tiny
+            # CPU smoke fixtures) time the stacked-state path instead
+            if a.halo_src is None:
+                from spgpu_tpu.parallel.blocks import embed_tuple
+
+                xh = np.random.default_rng(2).standard_normal(a.n_rows)
+                xs = tuple(jnp.asarray(v)
+                           for v in embed_tuple(a, xh))
+                blocks_spmv_tuple(a, xs)  # compile
+                return chained_time(
+                    lambda c, m: tuple(z * scale
+                                       for z in blocks_spmv_tuple(m, c)),
+                    xs, a, iters_lo=20 if on_tpu else 2,
+                    iters_hi=200 if on_tpu else 4)[0]
+            from spgpu_tpu.parallel.blocks import blocks_spmv
+
+            shape = (a.n_blocks, 2, a.n_lane) if dd else (a.n_blocks,
+                                                          a.n_lane)
+            x = jnp.asarray(np.random.default_rng(2).standard_normal(
+                shape), jnp.float32)
+            blocks_spmv(a, x)  # compile
+            return chained_time(
+                lambda c, m: blocks_spmv(m, c) * scale, x, a,
+                iters_lo=20 if on_tpu else 2,
+                iters_hi=200 if on_tpu else 4)[0]
+
+        t = time_blocks(a, dd=False)
+        emit("blocks_4m_fp32_gflops", 2.0 * fem_l.nnz / t * 1e-9,
+             "GFLOP/s",
+             sum(m.values.size * 6 for m in a.mats) / t / bw)
+
+        # dd (fp64) SpMV + warm CG on an SPD banded system (symmetrise
+        # A <- (A + A^T)/2; the wandering band keeps diagonal dominance)
+        from spgpu_tpu.formats.coo import CooMatrix
+
+        bl = random_banded(nb, bands=9, wander=3, seed=6,
+                           dtype=np.float64)
+        idxd = np.arange(nb, dtype=np.int64)
+        band_l = CooMatrix(
+            np.concatenate([bl.rows, bl.cols, idxd]),
+            np.concatenate([bl.cols, bl.rows, idxd]),
+            np.concatenate([bl.values * 0.5, bl.values * 0.5,
+                            np.full(nb, 12.0)]),
+            nb, nb).sum_duplicates()
+        ad = coo_to_whell_blocks(band_l, n_blocks=nblk)
+        t = time_blocks(ad, dd=True)
+        emit("blocks_4m_dd_gflops", 2.0 * band_l.nnz / t * 1e-9,
+             "GFLOP/s",
+             sum(m.values.size * 10 for m in ad.mats) / t / bw)
+
+        b = np.random.default_rng(3).standard_normal(nb)
+        res = blocks_cg(ad, b, tol=1e-10, maxiter=10)  # warm the program
+        t0 = _time.perf_counter()
+        res = blocks_cg(ad, b, tol=1e-12, maxiter=60)
+        dt = _time.perf_counter() - t0
+        it = max(int(res.iterations), 1)
+        rel = float(res.residual_norm) / max(float(np.linalg.norm(b)),
+                                             1e-30)
+        emit("blocks_cg_warm_ms_per_iter", dt / it * 1e3, "ms/iter",
+             min(rel, 1.0))
+
+    guard("blocks_4m_fp32_gflops", blocks_rows)
+
+    # -- ragged halo plan waste (static plan property — no mesh needed,
+    # so the single-chip driver run still regression-tracks the
+    # distributed exchange; CPU-mesh timing lives in bench/harness) ----
+    def halo_row():
+        from spgpu_tpu.parallel.partition_packed import (
+            partition_coo_rows_packed)
+
+        S = 8
+        n = (65536 if on_tpu else 8192) * S
+        coo = random_banded(n, bands=11, wander=3, seed=2,
+                            dtype=np.float32).sum_duplicates()
+        pm = partition_coo_rows_packed(coo, S)
+        used = sum(sum(p) for p in pm.halo_counts)
+        sent = sum(len(perm) * pm.halo_send_off[i].shape[1]
+                   for i, (_o, perm) in enumerate(pm.halo_offsets))
+        waste = 1.0 - used / sent if sent else 0.0
+        emit("dist_halo_waste_8shards", waste, "fraction", 1.0 - waste)
+
+    guard("dist_halo_waste_8shards", halo_row)
 
     # -- BLAS-1 dot at 256 MB/vector (scalar-carry protocol, r3) ----------
     def dot_row():

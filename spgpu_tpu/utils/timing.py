@@ -47,8 +47,14 @@ def chained_time(step, carry0, *step_args, iters_lo: int = 200,
 
     @jax.jit
     def timed(c0, it, *args):
-        return jax.lax.fori_loop(
-            0, it, lambda _, c: step(c, *args), c0).sum()
+        out = jax.lax.fori_loop(0, it, lambda _, c: step(c, *args), c0)
+        # 4-byte scalar fence; pytree carries (e.g. the zero-copy tuple
+        # block states) reduce across leaves
+        leaves = jax.tree.leaves(out)
+        s = leaves[0].sum()
+        for l in leaves[1:]:
+            s = s + l.sum().astype(s.dtype)
+        return s
 
     T = {}
     for it in (iters_lo, iters_hi):
