@@ -356,11 +356,13 @@ def _suite_rows():
         bl = random_banded(nb, bands=9, wander=3, seed=6,
                            dtype=np.float64)
         idxd = np.arange(nb, dtype=np.int64)
+        # diag shift 30 > the max row sum of ~18 half-normal off-diag
+        # magnitudes, so dominance (hence SPD) holds at any n
         band_l = CooMatrix(
             np.concatenate([bl.rows, bl.cols, idxd]),
             np.concatenate([bl.cols, bl.rows, idxd]),
             np.concatenate([bl.values * 0.5, bl.values * 0.5,
-                            np.full(nb, 12.0)]),
+                            np.full(nb, 30.0)]),
             nb, nb).sum_duplicates()
         ad = coo_to_whell_blocks(band_l, n_blocks=nblk)
         t = time_blocks(ad, dd=True)
@@ -369,7 +371,10 @@ def _suite_rows():
              sum(m.values.size * 10 for m in ad.mats) / t / bw)
 
         b = np.random.default_rng(3).standard_normal(nb)
-        res = blocks_cg(ad, b, tol=1e-10, maxiter=10)  # warm the program
+        # warm with the SAME (tol, maxiter): both are static args of
+        # the cached runner, so a different warm config would leave the
+        # timed call paying the full CG-program compile
+        res = blocks_cg(ad, b, tol=1e-12, maxiter=60)
         t0 = _time.perf_counter()
         res = blocks_cg(ad, b, tol=1e-12, maxiter=60)
         dt = _time.perf_counter() - t0

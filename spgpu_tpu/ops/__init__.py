@@ -299,27 +299,47 @@ def bcoo_spmv(a: BcooMatrix, x, alpha=1.0, beta=0.0, y=None):
     return alpha * acc + beta * y
 
 
-def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
+               fused=None):
     """SpMV on the WHELL compute layout (the Pallas TPU fast path for
     HELL-class matrices; see :mod:`spgpu_tpu.formats.whell`).  Runs the
     compiled kernel on TPU and interpret mode elsewhere.
 
     Double-float matrices (``coo_to_whell(packed=True)`` on float64
-    values) take/return ``(2, n)`` fp32 hi/lo stacks (``ops.dd``)."""
+    values) take/return ``(2, n)`` fp32 hi/lo stacks (``ops.dd``).
+
+    Complex (C-precision) packed matrices default to the FUSED
+    one-pass kernel (r5): one slab decode + shared xr/xi gathers + 4
+    fmas per tile, 10 B/cell traffic vs the plane-pair path's 20
+    (``hell_cspmv.cu:29`` one-pass ``cuCfmaf`` parity).
+    ``fused=False`` forces the 4-product plane path; Z (dd-complex)
+    and panelled/segmented layouts always take it."""
     from spgpu_tpu.ops.pallas_kernels import (
+        whell_spmv_cplx_pallas,
         whell_spmv_dd_pallas,
         whell_spmv_pallas,
     )
 
     if interpret is None:
         interpret = not _on_tpu()
-    from spgpu_tpu.formats.whell import PcellWhell, WhellComplex
+    from spgpu_tpu.formats.whell import (
+        PcellWhell, WhellComplex, WhellMatrix)
 
     if isinstance(a, PcellWhell):
         from spgpu_tpu.ops.pallas_kernels import pcell_spmv_pallas
 
         return pcell_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
     if isinstance(a, WhellComplex):
+        can_fuse = (not a.is_dd and isinstance(a.ar, WhellMatrix)
+                    and isinstance(a.ai, WhellMatrix))
+        if fused and not can_fuse:
+            raise NotImplementedError(
+                "fused complex WHELL covers C-precision plain packed "
+                "planes; Z (dd) and panelled/segmented layouts run the "
+                "plane-product path (omit fused or pass fused=False)")
+        if can_fuse and fused is not False:
+            return whell_spmv_cplx_pallas(a, x, alpha, beta, y,
+                                          interpret=interpret)
         return _complex_plane_spmv(
             lambda m, v: whell_spmv(m, v, interpret=interpret),
             a, x, alpha, beta, y)

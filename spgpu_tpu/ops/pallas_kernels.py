@@ -353,6 +353,198 @@ def _whell_packed_call(values, residue, page_tab, seg_lo, seg_hi,
     )(*ops, values, residue, page_tab, seg_lo, seg_hi, *x_ops)
 
 
+def _whell_packed_cplx_kernel(*refs, window_pages, chunk_tiles,
+                              group_hacks, scattered=False,
+                              unit_segments=False):
+    """ONE-PASS complex packed-WHELL SpMV (r5): both value planes
+    stream together, the slab decode + window resolve run ONCE per
+    tile (the plane-pair path ran the whole chain 4x), xr/xi gather
+    through the shared index sets, and the four real fmas land in
+    re/im accumulator scratches — ``hell_cspmv.cu:29`` one-pass
+    ``cuCfmaf`` parity for the irregular (HELL-class) format.
+    Traffic: 10 B/cell (two fp32 slabs + shared res/pt) vs the
+    plane-pair path's 20.  Single accumulator plane per component —
+    the re/im RMW pair already gives the chain interleave the fp32
+    kernel needs parity planes for, at half the VMEM."""
+    if scattered:
+        (tmeta_ref, cgroup_ref, gbase_ref, vr_ref, vi_ref, res_ref,
+         pt_ref, seglo_ref, seghi_ref, xr_hbm, xi_hbm, z_ref,
+         zacc_r, zacc_i, xr_vmem, xi_vmem, sem_r, sem_i) = refs
+    else:
+        (tmeta_ref, cgroup_ref, vr_ref, vi_ref, res_ref, pt_ref,
+         seglo_ref, seghi_ref, xr_hbm, xi_hbm, z_ref,
+         zacc_r, zacc_i, xr_vmem, xi_vmem, sem_r, sem_i) = refs
+    gh = group_hacks
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        d1 = pltpu.make_async_copy(xr_hbm, xr_vmem, sem_r)
+        d2 = pltpu.make_async_copy(xi_hbm, xi_vmem, sem_i)
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+    first = jnp.logical_or(
+        c == 0, cgroup_ref[c] != cgroup_ref[jnp.maximum(c - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        zacc_r[:] = jnp.zeros_like(zacc_r)
+        zacc_i[:] = jnp.zeros_like(zacc_i)
+
+    ntab = window_pages // 8
+    for k in range(chunk_tiles):
+        meta = tmeta_ref[c * chunk_tiles + k]
+        res = res_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        pt = pt_ref[k * 8:(k + 1) * 8, :].astype(jnp.int32)
+        vr = vr_ref[k * 8:(k + 1) * 8, :]
+        vi = vi_ref[k * 8:(k + 1) * 8, :]
+        if scattered:
+            gidx = jax.lax.bitwise_and(meta, jnp.int32(0xFFFFF))
+            hh = jax.lax.shift_right_logical(meta, jnp.int32(20))
+            pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+            blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+
+            def wgather(x_vmem):
+                h1 = None
+                for wb in range(ntab):
+                    winb = x_vmem[pl.ds(gbase_ref[gidx * ntab + wb], 8), :]
+                    hb = jnp.take_along_axis(winb, pt7, axis=0)
+                    h1 = hb if h1 is None else jnp.where(blk == wb, hb, h1)
+                return jnp.take_along_axis(h1, res, axis=1)
+        else:
+            base = jax.lax.bitwise_and(meta, jnp.int32(0xFFFF))
+            hh = jax.lax.shift_right_logical(meta, jnp.int32(16))
+            if window_pages == 8:
+                pt7, blk = pt, None
+            else:
+                pt7 = jax.lax.bitwise_and(pt, jnp.int32(7))
+                blk = jax.lax.shift_right_logical(pt, jnp.int32(3))
+
+            def wgather(x_vmem):
+                win = x_vmem[pl.ds(base, 8), :]
+                h1 = jnp.take_along_axis(win, pt7, axis=0)
+                for wb in range(1, ntab):
+                    winb = x_vmem[pl.ds(base + 8 * wb, 8), :]
+                    hb = jnp.take_along_axis(winb, pt7, axis=0)
+                    h1 = jnp.where(blk == wb, hb, h1)
+                return jnp.take_along_axis(h1, res, axis=1)
+
+        gr = wgather(xr_vmem)
+        gi = wgather(xi_vmem)
+        sl = pl.ds(hh, 1)
+        zacc_r[sl, :, :] += (vr * gr - vi * gi)[None]
+        zacc_i[sl, :, :] += (vr * gi + vi * gr)[None]
+
+    last = cgroup_ref[c] != cgroup_ref[c + 1]
+
+    @pl.when(last)
+    def _():
+        hi = seghi_ref[:].astype(jnp.int32)
+        mhi = (hi >= 0)
+        ys = (jnp.sum(zacc_r[:], axis=1), jnp.sum(zacc_i[:], axis=1))
+        if unit_segments:
+            for plane, y in enumerate(ys):
+                z_ref[plane] = jnp.take_along_axis(
+                    y, jnp.maximum(hi, 0), axis=1) * mhi.astype(y.dtype)
+            return
+        lo = seglo_ref[:].astype(jnp.int32)
+        mlo = (lo >= 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (gh, 128), 1)
+        for plane, y in enumerate(ys):
+            p = y
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                p = p + jnp.where(lane_i >= s, pltpu.roll(p, s, 1),
+                                  jnp.zeros_like(p))
+            p_lo = jnp.take_along_axis(p, jnp.maximum(lo, 0), axis=1)
+            p_hi = jnp.take_along_axis(p, jnp.maximum(hi, 0), axis=1)
+            z_ref[plane] = (p_hi * mhi.astype(p.dtype)
+                            - p_lo * mlo.astype(p.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_tiles", "num_groups", "x_pages", "window_pages", "chunk_tiles",
+    "group_hacks", "interpret", "unit_segments"))
+def _whell_packed_cplx_call(vr, vi, residue, page_tab, seg_lo, seg_hi,
+                            tile_base, chunk_group, xr2d, xi2d,
+                            group_bases=None, *, num_tiles, num_groups,
+                            x_pages, window_pages, chunk_tiles,
+                            group_hacks, interpret=False,
+                            unit_segments=False):
+    ct, gh = chunk_tiles, group_hacks
+    scattered = group_bases is not None
+    num_chunks = num_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 if scattered else 2,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # vr
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # vi
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # res
+            pl.BlockSpec((ct * 8, 128), lambda c, *_: (c, 0)),  # pt
+            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
+            pl.BlockSpec((gh, 128), lambda c, tm, cg, *_: (cg[c], 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # xr
+            pl.BlockSpec(memory_space=pl.ANY),  # xi
+        ],
+        out_specs=pl.BlockSpec(
+            (2, gh, 128), lambda c, tm, cg, *_: (0, cg[c], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gh, 8, 128), vr.dtype),  # re accumulator
+            pltpu.VMEM((gh, 8, 128), vr.dtype),  # im accumulator
+            pltpu.VMEM((x_pages, 128), vr.dtype),
+            pltpu.VMEM((x_pages, 128), vr.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    ops = ((tile_base, chunk_group, group_bases) if scattered
+           else (tile_base, chunk_group))
+    return pl.pallas_call(
+        functools.partial(_whell_packed_cplx_kernel,
+                          window_pages=window_pages, chunk_tiles=ct,
+                          group_hacks=gh, scattered=scattered,
+                          unit_segments=unit_segments),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, num_groups * gh, 128),
+                                       vr.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * num_tiles * 8 * 128,
+            bytes_accessed=num_tiles * 8 * 128 * 10
+            + 2 * x_pages * 128 * 4,
+            transcendentals=0,
+        ),
+    )(*ops, vr, vi, residue, page_tab, seg_lo, seg_hi, xr2d, xi2d)
+
+
+def whell_spmv_cplx_pallas(a, x, alpha=1.0, beta=0.0, y=None,
+                           interpret: bool = False):
+    """Fused one-pass complex packed-WHELL SpMV on a
+    :class:`~spgpu_tpu.formats.whell.WhellComplex` whose planes are
+    plain packed :class:`WhellMatrix` (C precision).  ``x``: ``(2,
+    n_lane)`` [re, im] lane-space stack; returns the same.  Z (dd) and
+    panelled/segmented layouts take the plane-product path."""
+    ar, ai = a.ar, a.ai
+    xr2d = _prep_x(x[0], ar.n_cols, ar.x_pages)
+    xi2d = _prep_x(x[1], ar.n_cols, ar.x_pages)
+    z = _whell_packed_cplx_call(
+        ar.values, ai.values, ar.residue, ar.page_tab, ar.seg_lo,
+        ar.seg_hi, ar.tile_base, ar.chunk_group, xr2d, xi2d,
+        ar.group_bases,
+        num_tiles=ar.num_tiles, num_groups=ar.num_groups,
+        x_pages=ar.x_pages, window_pages=ar.window_pages,
+        chunk_tiles=ar.chunk_tiles, group_hacks=ar.group_hacks,
+        interpret=interpret, unit_segments=ar.unit_segments)
+    zz = z.reshape(2, -1)[:, : ar.n_rows]
+    from spgpu_tpu.ops import _complex_epilogue
+
+    return _complex_epilogue(zz, alpha, beta, y, is_dd=False)
+
+
 def _whell_packed_dd_kernel(*refs, window_pages,
                             chunk_tiles, group_hacks, interpret,
                             halo_page=None, parity=False,

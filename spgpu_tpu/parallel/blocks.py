@@ -38,6 +38,9 @@ import numpy as np
 
 from spgpu_tpu.formats.coo import CooMatrix
 from spgpu_tpu.parallel.partition_packed import build_shard_mats
+from spgpu_tpu.utils import hostmem as _hostmem  # noqa: F401  malloc
+#   tuning: embed/extract of multi-GB block states pays the §2e
+#   page-fault tax otherwise
 
 __all__ = ["BlockedPackedWhell", "coo_to_whell_blocks",
            "blocks_spmv", "blocks_spmv_tuple", "blocks_cg",

@@ -102,20 +102,33 @@ def local_matvec(pm, axis: str, lpm, x_local):
 
         a = pair()
         sub = lambda m, v: whell_spmv(m, v)
+
+        def prod(m, v, alpha=1.0, beta=0.0, y=None):
+            # C precision takes the FUSED one-pass complex kernel (r5:
+            # one decode + shared gathers + 4 fmas; 2.3x the plane-pair
+            # path on chip); Z keeps the error-free dd plane products
+            if not pm.is_dd:
+                from spgpu_tpu.ops import _on_tpu
+                from spgpu_tpu.ops.pallas_kernels import (
+                    whell_spmv_cplx_pallas)
+
+                return whell_spmv_cplx_pallas(m, v, alpha, beta, y,
+                                              interpret=not _on_tpu())
+            return _complex_plane_spmv(sub, m, v, alpha, beta, y)
+
         nc = a.ar.n_cols
         no_halo = bool(rp.halo_counts) and not any(
             c for row in rp.halo_counts for c in row)
         if not pm.overlapped or no_halo:
-            z = _complex_plane_spmv(
-                sub, a, (xl if no_halo else xf)[..., :nc], 1.0, 0.0, None)
+            z = prod(a, (xl if no_halo else xf)[..., :nc])
             return z[None]
-        # overlapped: 4 interior products on the pre-exchange x run
-        # concurrently with the all-to-all; the exterior plane products
-        # add through the complex beta=1 epilogue (dd: error-free)
-        z_int = _complex_plane_spmv(sub, a, xl[..., :nc], 1.0, 0.0, None)
+        # overlapped: the interior products read the pre-exchange x and
+        # run concurrently with the halo collectives; the exterior
+        # products add through the complex beta=1 epilogue (dd:
+        # error-free)
+        z_int = prod(a, xl[..., :nc])
         a_ext = pair(ext=True)
-        z = _complex_plane_spmv(sub, a_ext, xf[..., :a_ext.ar.n_cols],
-                                1.0, 1.0, z_int)
+        z = prod(a_ext, xf[..., :a_ext.ar.n_cols], 1.0, 1.0, z_int)
         return z[None]
 
     if isinstance(pm, PackedPartition):

@@ -473,3 +473,41 @@ def test_pcell_duplicates_and_empty():
     ae = coo_to_whell_percell(empty, group_hacks=32, chunk_tiles=16)
     ze = np.asarray(whell_spmv(ae, jnp.asarray(x[:256]), interpret=True))
     assert not ze.any()
+
+
+def test_complex_fused_one_pass_whell(rng):
+    """r5: the fused one-pass complex packed-WHELL kernel (one decode,
+    shared xr/xi gathers, 4 fmas — ``hell_cspmv.cu:29`` parity) matches
+    the plane-product path and the host golden, with complex
+    alpha/beta, on scattered-window and banded layouts."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu import ops
+    from spgpu_tpu.convert import coo_to_whell
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.utils.fixtures import random_banded, random_fem_like
+
+    for base in (random_fem_like(2500, 12.0, span=300, far_frac=0.02,
+                                 seed=1, dtype=np.float64),
+                 random_banded(2500, bands=9, wander=5, seed=2,
+                               dtype=np.float64).sum_duplicates()):
+        cm = CooMatrix(base.rows, base.cols,
+                       (base.values + 1j * rng.standard_normal(base.nnz))
+                       .astype(np.complex64), base.n_rows, base.n_cols)
+        a = coo_to_whell(cm, packed=True)
+        xc = (rng.standard_normal(cm.n_cols)
+              + 1j * rng.standard_normal(cm.n_cols)).astype(np.complex64)
+        x = jnp.asarray(a.embed_complex(xc))
+        yc = np.stack([rng.standard_normal(a.n_rows),
+                       rng.standard_normal(a.n_rows)]).astype(np.float32)
+        al, be = 2 - 1j, 0.5 + 2j
+        zf = np.asarray(ops.whell_spmv(a, x, al, be, jnp.asarray(yc)))
+        zp = np.asarray(ops.whell_spmv(a, x, al, be, jnp.asarray(yc),
+                                       fused=False))
+        np.testing.assert_allclose(zf, zp, rtol=2e-4, atol=2e-4)
+        lor = np.asarray(a.lane_of_row)
+        zf0 = np.asarray(ops.whell_spmv(a, x))
+        g = cm.spmv(xc.astype(np.complex128))
+        err = np.linalg.norm((zf0[0] + 1j * zf0[1])[lor] - g) \
+            / np.linalg.norm(g)
+        assert err < 2e-5, err
