@@ -436,8 +436,10 @@ def run_weak_scaling(rows_per_shard: int = 65536, shards=(1, 2, 4, 8),
             row["halo_lanes_used"] = used
             row["halo_slots_sent"] = sent
             row["halo_bytes_per_iter"] = sent * 4
-            row["k_padding_waste"] = round(1.0 - used / sent, 4) if sent \
-                else 0.0
+            # used == 0 means NO halo exists (S=1 / block-diagonal):
+            # report 0 waste, not the legacy formula's vacuous 1.0
+            row["k_padding_waste"] = round(1.0 - used / sent, 4) \
+                if sent and used else 0.0
         rows.append(row)
         if out:
             out(json.dumps(row))

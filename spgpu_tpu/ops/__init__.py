@@ -197,21 +197,40 @@ def dia_spmv(a: DiaMatrix, x, alpha=1.0, beta=0.0, y=None, impl: str = "auto"):
     return dia_spmv_xla(a, x, alpha, beta, y)
 
 
-def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None):
+def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
+              fused=None):
     """SpMV on the SDIA (static-offset DIA) compute layout — the Pallas
     TPU fast path for stencil/banded matrices with a globally small
     diagonal set (see :class:`spgpu_tpu.formats.dia.SdiaMatrix`).  Each
-    offset is a compile-time constant; recompiles per offset tuple."""
+    offset is a compile-time constant; recompiles per offset tuple.
+
+    Complex (C-precision) matrices default to the FUSED one-pass kernel
+    (r5): each diagonal's x rotation is built once per plane and the
+    four real fmas share it — 8 B/cell vs the plane-pair path's 16
+    (``dia_cspmv.cu:28-33`` one-pass parity).  ``fused=False`` forces
+    the plane path; Z (dd-complex) always takes it."""
     from spgpu_tpu.ops.pallas_kernels import (
+        sdia_spmv_cplx_pallas,
         sdia_spmv_dd_pallas,
         sdia_spmv_pallas,
     )
 
     from spgpu_tpu.formats.cplanes import ComplexPlanes
+    from spgpu_tpu.formats.dia import SdiaMatrix
 
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(a, ComplexPlanes):
+        can_fuse = (not a.is_dd and isinstance(a.ar, SdiaMatrix)
+                    and isinstance(a.ai, SdiaMatrix))
+        if fused and not can_fuse:
+            raise NotImplementedError(
+                "fused complex SDIA covers C-precision SdiaMatrix planes; "
+                "Z (dd) runs the plane-product path (omit fused or pass "
+                "fused=False)")
+        if can_fuse and fused is not False:
+            return sdia_spmv_cplx_pallas(a, x, alpha, beta, y,
+                                         interpret=interpret)
         return _complex_plane_spmv(
             lambda m, v: sdia_spmv(m, v, interpret=interpret),
             a, x, alpha, beta, y)

@@ -2196,6 +2196,123 @@ def sdia_spmv_pallas(a, x, alpha=1.0, beta=0.0, y=None,
     return alpha * acc + beta * y
 
 
+def _sdia_cplx_kernel(vr_ref, vi_ref, xr_hbm, xi_hbm, z_ref,
+                      xr_vmem, xi_vmem, sem_r, sem_i, *,
+                      offsets, margin_sub, chunk_tiles):
+    """ONE-PASS complex SDIA SpMV (r5): both value planes stream
+    together, each diagonal's x rotation is built ONCE per plane (the
+    plane-pair path rebuilt it 4x), and the four real fmas land in
+    re/im accumulators — ``dia_cspmv.cu:28-33`` one-pass ``cuCfma``
+    parity.  Traffic: 8 B/cell vs the plane-pair path's 16."""
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        d1 = pltpu.make_async_copy(xr_hbm, xr_vmem, sem_r)
+        d2 = pltpu.make_async_copy(xi_hbm, xi_vmem, sem_i)
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+    zdt = z_ref.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    for k in range(chunk_tiles):
+        t = c * chunk_tiles + k
+        acc_r = None
+        acc_i = None
+        for j, o in enumerate(offsets):
+            q, r = divmod(int(o) + margin_sub * 128, 128)
+
+            def rot(x_vmem):
+                a = x_vmem[pl.ds(t * 8 + q, 9), :]
+                if r == 0:
+                    return a[:8, :]
+                hi = pltpu.roll(a[:8, :], 128 - r, 1)
+                lo = pltpu.roll(a[1:9, :], 128 - r, 1)
+                return jnp.where(lane < 128 - r, hi, lo)
+
+            ykr = rot(xr_vmem)
+            yki = rot(xi_vmem)
+            vr = vr_ref[j, k * 8:(k + 1) * 8, :].astype(zdt)
+            vi = vi_ref[j, k * 8:(k + 1) * 8, :].astype(zdt)
+            cr = vr * ykr - vi * yki
+            ci = vr * yki + vi * ykr
+            acc_r = cr if acc_r is None else acc_r + cr
+            acc_i = ci if acc_i is None else acc_i + ci
+        z_ref[0, k * 8:(k + 1) * 8, :] = acc_r
+        z_ref[1, k * 8:(k + 1) * 8, :] = acc_i
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "margin_sub", "x_sub", "chunk_tiles", "interpret"))
+def _sdia_cplx_call(vr, vi, xr2d, xi2d, *, offsets, margin_sub, x_sub,
+                    chunk_tiles, interpret=False):
+    nd, rows8, _ = vr.shape
+    ct = chunk_tiles
+    n_tiles = rows8 // 8
+    num_chunks = n_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((2, ct * 8, 128), lambda c: (0, c, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((x_sub, 128), xr2d.dtype),
+            pltpu.VMEM((x_sub, 128), xr2d.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_sdia_cplx_kernel, offsets=offsets,
+                          margin_sub=margin_sub, chunk_tiles=ct),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((2, rows8, 128), xr2d.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * nd * n_tiles * 1024,
+            bytes_accessed=2 * vr.size * vr.dtype.itemsize
+            + 2 * x_sub * 128 * 4 + 2 * rows8 * 128 * 4,
+            transcendentals=0,
+        ),
+    )(vr, vi, xr2d, xi2d)
+
+
+def sdia_spmv_cplx_pallas(a, x, alpha=1.0, beta=0.0, y=None,
+                          interpret: bool = False):
+    """Fused one-pass complex SDIA SpMV on a
+    :class:`~spgpu_tpu.formats.cplanes.ComplexPlanes` whose planes are
+    :class:`SdiaMatrix` (C precision).  ``x``: ``(2, n)`` [re, im]
+    stack; returns the same."""
+    ar, ai = a.ar, a.ai
+    if ar.n_diags == 0:
+        zz = jnp.zeros((2, ar.n_rows), jnp.float32)
+    else:
+        margin_sub, x_sub, ct = _sdia_geometry(ar)
+        # fused body is ~2x the fp32 op count per (tile, diag): halve
+        # the unroll budget to keep Mosaic compiles in budget
+        while ct > 1 and ct * max(ar.n_diags, 1) > 128:
+            ct //= 2
+        pad_lo = margin_sub * 128
+        pad_hi = x_sub * 128 - pad_lo - ar.n_cols
+        xr2d = jnp.pad(x[0], (pad_lo, pad_hi)).reshape(x_sub, 128)
+        xi2d = jnp.pad(x[1], (pad_lo, pad_hi)).reshape(x_sub, 128)
+        z = _sdia_cplx_call(ar.values, ai.values, xr2d, xi2d,
+                            offsets=ar.offsets, margin_sub=margin_sub,
+                            x_sub=x_sub, chunk_tiles=ct,
+                            interpret=interpret)
+        zz = z.reshape(2, -1)[:, : ar.n_rows]
+    from spgpu_tpu.ops import _complex_epilogue
+
+    return _complex_epilogue(zz, alpha, beta, y, is_dd=False)
+
+
 def _sdia_spmm_kernel(vals_ref, x_hbm_ref, z_ref, x_vmem, xsem, *,
                       offsets, margin_sub, chunk_tiles, n_rhs):
     """Fused multi-RHS SDIA SpMM: the value planes (the ONLY per-cell

@@ -145,3 +145,33 @@ def test_solve_dd_sdia():
     res = solve(coo, b, tol=1e-11, fmt="sdia")
     r = b - coo.spmv(np.asarray(res.x))
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-10
+
+
+def test_complex_fused_one_pass_sdia(rng):
+    """r5: the fused one-pass complex SDIA kernel (shared per-diagonal
+    x rotations, 4 fmas — ``dia_cspmv.cu:28-33`` parity) matches the
+    plane-product path and the host golden with complex alpha/beta."""
+    import jax.numpy as jnp
+
+    from spgpu_tpu import convert, ops
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.utils.fixtures import laplacian_2d
+
+    base = laplacian_2d(40, 40, np.float64)
+    cm = CooMatrix(base.rows, base.cols,
+                   (base.values + 1j * rng.standard_normal(base.nnz))
+                   .astype(np.complex64), base.n_rows, base.n_cols)
+    a = convert.coo_to_sdia(cm)
+    xc = (rng.standard_normal(cm.n_cols)
+          + 1j * rng.standard_normal(cm.n_cols)).astype(np.complex64)
+    x = jnp.asarray(np.stack([xc.real, xc.imag]).astype(np.float32))
+    yc = np.stack([rng.standard_normal(cm.n_rows),
+                   rng.standard_normal(cm.n_rows)]).astype(np.float32)
+    al, be = 2 - 1j, 0.5 + 2j
+    zf = np.asarray(ops.sdia_spmv(a, x, al, be, jnp.asarray(yc)))
+    zp = np.asarray(ops.sdia_spmv(a, x, al, be, jnp.asarray(yc),
+                                  fused=False))
+    g = al * cm.spmv(xc.astype(np.complex128)) + be * (yc[0] + 1j * yc[1])
+    err = np.linalg.norm(zf[0] + 1j * zf[1] - g) / np.linalg.norm(g)
+    assert err < 2e-5, err
+    np.testing.assert_allclose(zf, zp, rtol=2e-4, atol=2e-4)
