@@ -381,8 +381,10 @@ def _suite_rows():
         it = max(int(res.iterations), 1)
         rel = float(res.residual_norm) / max(float(np.linalg.norm(b)),
                                              1e-30)
-        emit("blocks_cg_warm_ms_per_iter", dt / it * 1e3, "ms/iter",
-             min(rel, 1.0))
+        # vs_baseline = convergence quality: 1.0 = solved to precision,
+        # 0.0 = diverged (rel residual >= 1 / nan)
+        ok = 1.0 - min(rel, 1.0) if np.isfinite(rel) else 0.0
+        emit("blocks_cg_warm_ms_per_iter", dt / it * 1e3, "ms/iter", ok)
 
     guard("blocks_4m_fp32_gflops", blocks_rows)
 
@@ -405,6 +407,30 @@ def _suite_rows():
         emit("dist_halo_waste_8shards", waste, "fraction", 1.0 - waste)
 
     guard("dist_halo_waste_8shards", halo_row)
+
+    # -- complex64 Laplacian — the fused one-pass SDIA complex kernel
+    # (r5: shared per-diagonal rotations; dia_cspmv.cu parity) ---------
+    def sdia_c64_row():
+        lap_c = laplacian_2d(1024 if on_tpu else 40,
+                             1024 if on_tpu else 40, np.float64)
+        rng8 = np.random.default_rng(12)
+        cm = CooMatrix(lap_c.rows, lap_c.cols,
+                       (lap_c.values + 1j * rng8.standard_normal(
+                           lap_c.nnz)).astype(np.complex64),
+                       lap_c.n_rows, lap_c.n_cols)
+        a = coo_to_sdia(cm)
+        xc = (rng8.standard_normal(cm.n_cols)
+              + 1j * rng8.standard_normal(cm.n_cols)).astype(np.complex64)
+        x = jnp.asarray(a.embed_complex(xc))
+        sdia_spmv(a, x)  # warm-up/compile
+        t, _ = chained_time(lambda c, m: sdia_spmv(m, c) * scale, x, a,
+                            iters_lo=60 if on_tpu else 2,
+                            iters_hi=400 if on_tpu else 4)
+        traffic = 2 * a.ar.values.size * 4 + cm.n_rows * 16
+        emit("sdia_c64_laplacian_gflops", 8.0 * cm.nnz / t * 1e-9,
+             "GFLOP/s", traffic / t / bw)
+
+    guard("sdia_c64_laplacian_gflops", sdia_c64_row)
 
     # -- BLAS-1 dot at 256 MB/vector (scalar-carry protocol, r3) ----------
     def dot_row():
