@@ -434,8 +434,6 @@ def _suite_rows():
 
     # -- BLAS-1 dot at 256 MB/vector (scalar-carry protocol, r3) ----------
     def dot_row():
-        import time as _time
-
         from spgpu_tpu.ops import blas1
 
         n = (1 << 26) if on_tpu else (1 << 16)
@@ -444,21 +442,14 @@ def _suite_rows():
         yv = jnp.asarray(rng.standard_normal(n), jnp.float32)
         tiny = jnp.float32(1e-30)
 
-        @jax.jit
-        def run(a, b, it):
-            def body(_, s):
-                return blas1.dot(a, b + s * tiny) * jnp.float32(1e-20)
-
-            return jax.lax.fori_loop(0, it, body, jnp.float32(0.0))
-
-        it = 12 if on_tpu else 3
-        float(run(xv, yv, it))
-        t0 = _time.perf_counter()
-        float(run(xv, yv, it))
-        t1 = _time.perf_counter()
-        float(run(xv, yv, 10 * it))
-        t2 = _time.perf_counter()
-        t = ((t2 - t1) - (t1 - t0)) / (9 * it)
+        # scalar carry chains each dot into the next (the r3 protocol);
+        # chained_time's min-of-reps two-point fit replaces the old
+        # single-shot subtraction, whose ~±10 ms dispatch jitter could
+        # exceed the 12-iteration signal and go NEGATIVE (seen once)
+        t, _ = chained_time(
+            lambda c, a, b: blas1.dot(a, b + c * tiny) * jnp.float32(1e-20),
+            jnp.float32(0.0), xv, yv,
+            iters_lo=24 if on_tpu else 3, iters_hi=240 if on_tpu else 6)
         emit("blas1_dot_gbs", 2 * n * 4 / t / 1e9, "GB/s",
              (2 * n * 4 / t) / bw)
 
