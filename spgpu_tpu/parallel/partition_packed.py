@@ -112,6 +112,10 @@ class PackedPartition:
     #: static ((offset, ((src, dst), ...)), ...) ppermute specs
     halo_offsets: tuple = dataclasses.field(metadata=dict(static=True),
                                             default=())
+    #: every shard's rows own exactly one lane (stencil/banded degree
+    #: profiles) — the kernels skip the flush scan (r5, DESIGN §2c-3)
+    unit_segments: bool = dataclasses.field(metadata=dict(static=True),
+                                            default=False)
 
     @property
     def is_dd(self) -> bool:
@@ -158,6 +162,7 @@ class PackedPartition:
                          else lpm.group_bases[0]),
             window_pages=self.window_pages, orig_rows=self.chunk,
             group_hacks=self.group_hacks, chunk_tiles=self.chunk_tiles,
+            unit_segments=self.unit_segments,
         )
 
     def local_view_ext(self, lpm) -> WhellMatrix:
@@ -178,6 +183,7 @@ class PackedPartition:
                          else lpm.ext_group_bases[0]),
             window_pages=self.window_pages, orig_rows=self.chunk,
             group_hacks=self.group_hacks, chunk_tiles=self.ext_chunk_tiles,
+            unit_segments=self.unit_segments,
         )
 
     # --- host-side embed/extract between global vectors and the stacked
@@ -630,4 +636,6 @@ def partition_coo_rows_packed(
         halo_send_off=tuple(halo_send_off),
         halo_recv_off=tuple(halo_recv_off),
         halo_offsets=tuple(halo_offsets),
+        unit_segments=all(m.unit_segments for m in mats_int)
+        and (not overlap or all(m.unit_segments for m in mats_ext)),
     )
