@@ -220,7 +220,12 @@ def coo_to_whell(
         else:
             ct = 32
         if is_dd_vals:
-            gh = 128 if num_hacks >= 128 else 32
+            # r5 re-sweep AFTER the scan-free flush (DESIGN §2c-3): the
+            # old gh=128 optimum was flush-bound; with the flush cheap,
+            # bigger groups win — lap512 chip, interleaved: gh=128
+            # 22.5 / gh=256 24.3 / gh=512 27.2 GFLOPS (ct=16: 18.8)
+            gh = (512 if num_hacks >= 512
+                  else (128 if num_hacks >= 128 else 32))
         elif scattered and num_hacks >= 512:
             gh = 512
         elif num_hacks >= 128:
