@@ -56,13 +56,15 @@ def _occupancy(coo: CooMatrix):
     return cnt, inv
 
 
-def hybrid_split_stats(coo: CooMatrix, taus=(8, 16, 32, 48, 64, 96, 128)):
+def hybrid_split_stats(coo: CooMatrix, taus=(8, 16, 32, 48, 64, 96, 128),
+                       _occ=None):
     """Occupancy-histogram sweep: for each candidate threshold, the band
     fraction, the band part's WHDIA cell count, and the modeled SpMV
     time.  Cheap (one ``np.unique`` of nnz keys) — the decision surface
     behind ``tau_lanes="auto"`` and the refutation evidence when no
-    threshold wins."""
-    cnt, inv = _occupancy(coo)
+    threshold wins.  ``_occ``: precomputed ``(cnt, inv)`` histogram so
+    :func:`coo_to_hybrid` doesn't sort the key set twice (review r5)."""
+    cnt, inv = _occupancy(coo) if _occ is None else _occ
     occ = cnt[inv]
     rows = []
     for t in taus:
@@ -121,7 +123,7 @@ def coo_to_hybrid(
 
     cnt, inv = _occupancy(coo)
     if tau_lanes == "auto":
-        rows, occ = hybrid_split_stats(coo)
+        rows, occ = hybrid_split_stats(coo, _occ=(cnt, inv))
         # only thresholds that clear min_band_frac are admissible
         ok = [r for r in rows if r["band_frac"] >= min_band_frac]
         if not ok:

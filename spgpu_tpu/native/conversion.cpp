@@ -655,7 +655,10 @@ int64_t mm_parse(const char* buf, int64_t len, int64_t ntok,
     start[nt] = len;
     for (int t = 1; t < nt; ++t) {
         int64_t s = len * t / nt;
-        while (s < len && buf[s - 1] != '\n') ++s;
+        // s can be 0 when len < nt: buf[s-1] would read one byte
+        // BEFORE the buffer (review r5); chunk boundaries at 0 are
+        // already newline-aligned by definition
+        while (s > 0 && s < len && buf[s - 1] != '\n') ++s;
         start[t] = s;
     }
     for (int t = 1; t < nt; ++t)

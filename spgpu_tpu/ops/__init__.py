@@ -221,12 +221,20 @@ def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(a, ComplexPlanes):
+        from spgpu_tpu.ops.pallas_kernels import _X_VMEM_LIMIT_BYTES
+
         can_fuse = (not a.is_dd and isinstance(a.ar, SdiaMatrix)
-                    and isinstance(a.ai, SdiaMatrix))
+                    and isinstance(a.ai, SdiaMatrix)
+                    # both padded x planes stage in VMEM; the fp32
+                    # kernel's explicit guard covers one plane, so the
+                    # fused path needs 2x within budget (review r5)
+                    and 2 * -(-a.ar.n_cols // 128) * 128 * 4
+                    <= _X_VMEM_LIMIT_BYTES)
         if fused and not can_fuse:
             raise NotImplementedError(
-                "fused complex SDIA covers C-precision SdiaMatrix planes; "
-                "Z (dd) runs the plane-product path (omit fused or pass "
+                "fused complex SDIA covers C-precision SdiaMatrix planes "
+                "within the 2-plane VMEM budget; Z (dd) and oversize-x "
+                "systems run the plane-product path (omit fused or pass "
                 "fused=False)")
         if can_fuse and fused is not False:
             return sdia_spmv_cplx_pallas(a, x, alpha, beta, y,
@@ -349,12 +357,19 @@ def whell_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
 
         return pcell_spmv_pallas(a, x, alpha, beta, y, interpret=interpret)
     if isinstance(a, WhellComplex):
+        from spgpu_tpu.ops.pallas_kernels import _X_VMEM_LIMIT_BYTES
+
         can_fuse = (not a.is_dd and isinstance(a.ar, WhellMatrix)
-                    and isinstance(a.ai, WhellMatrix))
+                    and isinstance(a.ai, WhellMatrix)
+                    # the fused kernel stages BOTH x planes in VMEM;
+                    # stay on the plane path when 2x exceeds the budget
+                    # the single-plane kernels are guarded to (review r5)
+                    and 2 * a.ar.x_pages * 128 * 4 <= _X_VMEM_LIMIT_BYTES)
         if fused and not can_fuse:
             raise NotImplementedError(
                 "fused complex WHELL covers C-precision plain packed "
-                "planes; Z (dd) and panelled/segmented layouts run the "
+                "planes within the 2-plane VMEM budget; Z (dd), "
+                "panelled/segmented, and oversize-x layouts run the "
                 "plane-product path (omit fused or pass fused=False)")
         if can_fuse and fused is not False:
             return whell_spmv_cplx_pallas(a, x, alpha, beta, y,
@@ -392,13 +407,18 @@ def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(a, ComplexPlanes):
+        from spgpu_tpu.ops.pallas_kernels import _X_VMEM_LIMIT_BYTES
+
         can_fuse = (not a.is_dd and isinstance(a.ar, WhdiaMatrix)
-                    and isinstance(a.ai, WhdiaMatrix))
+                    and isinstance(a.ai, WhdiaMatrix)
+                    # both x planes stage in VMEM (review r5)
+                    and 2 * a.ar.x_pages * 128 * 4 <= _X_VMEM_LIMIT_BYTES)
         if fused and not can_fuse:
             raise NotImplementedError(
                 "fused complex WHDIA covers C-precision plain WhdiaMatrix "
-                "planes; Z (dd) and blocked layouts run the plane-product "
-                "path (omit fused or pass fused=False)")
+                "planes within the 2-plane VMEM budget; Z (dd) and "
+                "blocked layouts run the plane-product path (omit fused "
+                "or pass fused=False)")
         if can_fuse and fused is not False:
             return whdia_spmv_cplx_pallas(a, x, alpha, beta, y,
                                           interpret=interpret)

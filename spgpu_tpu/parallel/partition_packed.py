@@ -576,6 +576,19 @@ def partition_coo_rows_packed(
     # partitions at 2-8 shards — BASELINE.md r4 weak-scaling row)
     halo_send_off, halo_recv_off, halo_offsets = [], [], []
     S = n_shards
+    # per-shard INERT phantom positions: slots of pairs beyond their
+    # real halo count — no matrix entry ever reads them.  Shards that do
+    # NOT participate in a bucket's perm still receive the ppermute's
+    # zero-fill and still execute the scatter (SPMD), so their targets
+    # must point here, not at a default index (lane 0 is a REAL column
+    # lane — scattering the zero-fill there silently corrupted x for
+    # overlap=False partitions; caught by review + CPU-mesh repro).
+    # Every shard has >= K inert slots: its self-pair (s, s) is always
+    # empty (own columns are never halo).
+    free_pos = [np.array([p * K + i for p in range(S)
+                          for i in range(halo_counts[p][s], K)],
+                         np.int64)
+                for s in range(S)]
     for o in range(1, S):
         pairs = [(p, (p + o) % S, halo_counts[p][(p + o) % S])
                  for p in range(S)]
@@ -599,6 +612,11 @@ def partition_coo_rows_packed(
             Ko = round_up(wmax, 8)  # <= K by construction
             snd = np.zeros((S, Ko), np.int32)
             rcv = np.zeros((S, Ko), np.int32)
+            # default every shard's targets to its inert slots (zeros
+            # land harmlessly); participants overwrite with the pair's
+            # real phantom region below
+            for s in range(S):
+                rcv[s] = halo_lanes[s, free_pos[s][:Ko]]
             perm = []
             for p, s, c in bucket:
                 snd[p, :c] = send_lane[p, s, :c]

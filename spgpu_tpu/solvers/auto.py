@@ -268,8 +268,11 @@ def _solve_complex(coo, b, symmetric, tol, maxiter, x0, fmt=None):
         fmt = {"dia": "sdia", "ell": "whell",
                "hybrid": "whdia"}.get(fmt, fmt)
         if fmt == "sdia":
-            # two fp32 planes (4 dd) must share the kernel's VMEM budget
-            plane_b = 8 if coo.values.dtype == np.complex128 else 4
+            # the fused one-pass kernel stages BOTH planes in VMEM:
+            # complex64 8 B/col, complex128 (dd plane pairs) 16 — the
+            # old 4/8 thresholds routed ~2x-too-large systems here
+            # (review r5)
+            plane_b = 16 if coo.values.dtype == np.complex128 else 8
             if coo.n_cols * plane_b > 11 * 2 ** 20:
                 fmt = "whdia"
     if fmt == "whell":

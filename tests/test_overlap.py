@@ -144,3 +144,22 @@ def test_ragged_halo_waste_bound():
     for i, (_o, perm) in enumerate(pm.halo_offsets):
         for (p, s) in perm:
             assert pm.halo_counts[p][s] > 0
+
+
+def test_ragged_halo_overlap_false_golden(rng):
+    """r5 review regression: shards OMITTED from a ppermute bucket
+    receive the collective's zero-fill and still execute the scatter —
+    their targets must be inert phantom lanes, not lane 0 (a real
+    column lane).  overlap=False reads local lanes through the single
+    combined slab, which exposed the corruption the overlap=True tests
+    masked (exterior slabs never read local lanes)."""
+    from spgpu_tpu.utils.fixtures import laplacian_2d
+
+    coo = laplacian_2d(48, 48, np.float32)
+    x = rng.standard_normal(coo.n_rows).astype(np.float32)
+    g = coo.spmv(x)
+    for S in (4, 8):
+        pm = partition_coo_rows_packed(coo, S, overlap=False)
+        mesh = make_row_mesh(S)
+        z = np.asarray(dist_spmv(pm, x, mesh))
+        assert np.abs(z - g).max() / np.abs(g).max() < 1e-4, S
