@@ -407,21 +407,32 @@ def whdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(a, ComplexPlanes):
-        from spgpu_tpu.ops.pallas_kernels import _X_VMEM_LIMIT_BYTES
+        from spgpu_tpu.ops.pallas_kernels import (
+            _X_VMEM_LIMIT_BYTES, whdia_spmv_z_pallas)
 
-        can_fuse = (not a.is_dd and isinstance(a.ar, WhdiaMatrix)
-                    and isinstance(a.ai, WhdiaMatrix)
-                    # both x planes stage in VMEM (review r5)
-                    and 2 * a.ar.x_pages * 128 * 4 <= _X_VMEM_LIMIT_BYTES)
+        plain = (isinstance(a.ar, WhdiaMatrix)
+                 and isinstance(a.ai, WhdiaMatrix))
+        if a.is_dd:
+            # Z (complex128): fused one-pass dd-complex kernel — four
+            # dd slabs + shared r0 decode + 4 error-free products per
+            # tile (r5; ``hdia_zspmv.cu`` parity).  4 x planes stage.
+            can_fuse = (plain and a.ar.slot_r0 is not None
+                        and 4 * a.ar.x_pages * 128 * 4
+                        <= _X_VMEM_LIMIT_BYTES)
+        else:
+            can_fuse = (plain
+                        # both x planes stage in VMEM (review r5)
+                        and 2 * a.ar.x_pages * 128 * 4
+                        <= _X_VMEM_LIMIT_BYTES)
         if fused and not can_fuse:
             raise NotImplementedError(
-                "fused complex WHDIA covers C-precision plain WhdiaMatrix "
-                "planes within the 2-plane VMEM budget; Z (dd) and "
-                "blocked layouts run the plane-product path (omit fused "
-                "or pass fused=False)")
+                "fused complex WHDIA covers plain WhdiaMatrix planes "
+                "within the staged-x VMEM budget; blocked/oversize "
+                "layouts run the plane-product path (omit fused or pass "
+                "fused=False)")
         if can_fuse and fused is not False:
-            return whdia_spmv_cplx_pallas(a, x, alpha, beta, y,
-                                          interpret=interpret)
+            fn = whdia_spmv_z_pallas if a.is_dd else whdia_spmv_cplx_pallas
+            return fn(a, x, alpha, beta, y, interpret=interpret)
         return _complex_plane_spmv(
             lambda m, v: whdia_spmv(m, v, interpret=interpret),
             a, x, alpha, beta, y)

@@ -157,3 +157,33 @@ def test_complex_fused_one_pass(rng):
             err = np.linalg.norm(z[0] + 1j * z[1] - g) / np.linalg.norm(g)
             assert err < 2e-5, (tag, err)
         np.testing.assert_allclose(zf, zp, rtol=2e-5, atol=2e-5)
+
+
+def test_z_fused_one_pass(rng):
+    """r5: the fused one-pass Z (complex128 = dd-complex) kernel — four
+    dd slabs + shared r0 decode + 4 error-free products per tile
+    (``hdia_zspmv.cu`` parity) — matches the dd plane-product path and
+    the host golden at D precision, incl. complex alpha/beta."""
+    base = random_banded(2500, bands=9, wander=5, seed=2,
+                         dtype=np.float64).sum_duplicates()
+    cm = CooMatrix(base.rows, base.cols,
+                   (base.values + 1j * rng.standard_normal(base.nnz))
+                   .astype(np.complex128), base.n_rows, base.n_cols)
+    a = convert.coo_to_whdia(cm)
+    assert a.is_dd
+    xc = rng.standard_normal(cm.n_cols) + 1j * rng.standard_normal(
+        cm.n_cols)
+    x = jnp.asarray(a.embed_complex(xc))
+    yc = jnp.asarray(a.embed_complex(
+        rng.standard_normal(cm.n_rows)
+        + 1j * rng.standard_normal(cm.n_rows)))
+    al, be = 2 - 1j, 0.5 + 2j
+    zf = np.asarray(ops.whdia_spmv(a, x, al, be, yc))
+    zp = np.asarray(ops.whdia_spmv(a, x, al, be, yc, fused=False))
+    np.testing.assert_allclose(zf[:, 0], zp[:, 0], rtol=1e-6, atol=1e-6)
+    z0 = np.asarray(ops.whdia_spmv(a, x))
+    g = cm.spmv(xc)
+    got = (z0[0, 0].astype(np.float64) + z0[0, 1]) \
+        + 1j * (z0[1, 0].astype(np.float64) + z0[1, 1])
+    err = np.linalg.norm(got - g) / np.linalg.norm(g)
+    assert err < 1e-13, err
