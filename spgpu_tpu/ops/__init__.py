@@ -221,24 +221,27 @@ def sdia_spmv(a, x, alpha=1.0, beta=0.0, y=None, interpret=None,
     if interpret is None:
         interpret = not _on_tpu()
     if isinstance(a, ComplexPlanes):
-        from spgpu_tpu.ops.pallas_kernels import _X_VMEM_LIMIT_BYTES
+        from spgpu_tpu.ops.pallas_kernels import (
+            _X_VMEM_LIMIT_BYTES, sdia_spmv_z_pallas)
 
-        can_fuse = (not a.is_dd and isinstance(a.ar, SdiaMatrix)
-                    and isinstance(a.ai, SdiaMatrix)
-                    # both padded x planes stage in VMEM; the fp32
+        plain = (isinstance(a.ar, SdiaMatrix)
+                 and isinstance(a.ai, SdiaMatrix))
+        nplanes = 4 if a.is_dd else 2
+        can_fuse = (plain
+                    # all padded x planes stage in VMEM; the fp32
                     # kernel's explicit guard covers one plane, so the
-                    # fused path needs 2x within budget (review r5)
-                    and 2 * -(-a.ar.n_cols // 128) * 128 * 4
+                    # fused paths need nplanes x within budget
+                    # (review r5)
+                    and nplanes * -(-a.ar.n_cols // 128) * 128 * 4
                     <= _X_VMEM_LIMIT_BYTES)
         if fused and not can_fuse:
             raise NotImplementedError(
-                "fused complex SDIA covers C-precision SdiaMatrix planes "
-                "within the 2-plane VMEM budget; Z (dd) and oversize-x "
-                "systems run the plane-product path (omit fused or pass "
-                "fused=False)")
+                "fused complex SDIA covers SdiaMatrix planes within the "
+                "staged-x VMEM budget; oversize-x systems run the "
+                "plane-product path (omit fused or pass fused=False)")
         if can_fuse and fused is not False:
-            return sdia_spmv_cplx_pallas(a, x, alpha, beta, y,
-                                         interpret=interpret)
+            fn = sdia_spmv_z_pallas if a.is_dd else sdia_spmv_cplx_pallas
+            return fn(a, x, alpha, beta, y, interpret=interpret)
         return _complex_plane_spmv(
             lambda m, v: sdia_spmv(m, v, interpret=interpret),
             a, x, alpha, beta, y)

@@ -2621,6 +2621,148 @@ def _sdia_xwin(a9, r, lane):
     return jnp.where(lane < 128 - r, hi, lo)
 
 
+def _sdia_z_kernel(arh_ref, arl_ref, aih_ref, ail_ref, x_hbm_ref,
+                   zrh_ref, zrl_ref, zih_ref, zil_ref, x_vmem, xsem, *,
+                   offsets, margin_sub, chunk_tiles, interpret):
+    """ONE-PASS Z (complex128 = dd-complex) SDIA SpMV (r5): the four dd
+    value slabs stream together, each diagonal's four x-plane windows
+    (xr/xi x hi/lo) are built once (the plane path rebuilt rotations
+    8x across 4 dd products), and the four error-free dd products
+    combine into re/im register accumulators — ``dia_zspmv.cu``
+    one-pass parity at D precision.  hi/lo words go to separate
+    outputs (the DUS-fusion hazard note on :func:`_sdia_dd_kernel`)."""
+    with __import__("contextlib").ExitStack() as _stack:
+        from spgpu_tpu.ops import dd as _ddmod
+
+        if not interpret:
+            _stack.enter_context(_ddmod.unguarded())
+        from spgpu_tpu.ops.dd import dd_add_dd, fast_two_sum, two_prod, \
+            two_sum
+
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            dma = pltpu.make_async_copy(x_hbm_ref, x_vmem, xsem)
+            dma.start()
+            dma.wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        for k in range(chunk_tiles):
+            t = c * chunk_tiles + k
+            acc = [None] * 4  # zr_h, zr_l, zi_h, zi_l
+
+            def rmw(base, ph, pe):
+                if acc[base] is None:
+                    acc[base], acc[base + 1] = fast_two_sum(ph, pe)
+                else:
+                    s, e2 = two_sum(acc[base], ph)
+                    acc[base], acc[base + 1] = fast_two_sum(
+                        s, e2 + acc[base + 1] + pe)
+
+            for j, o in enumerate(offsets):
+                q, r = divmod(int(o) + margin_sub * 128, 128)
+                # x planes: 0 xr_hi, 1 xr_lo, 2 xi_hi, 3 xi_lo
+                w = [_sdia_xwin(x_vmem[p, pl.ds(t * 8 + q, 9), :], r,
+                                lane) for p in range(4)]
+                arh = arh_ref[j, k * 8:(k + 1) * 8, :]
+                arl = arl_ref[j, k * 8:(k + 1) * 8, :]
+                aih = aih_ref[j, k * 8:(k + 1) * 8, :]
+                ail = ail_ref[j, k * 8:(k + 1) * 8, :]
+
+                def ddprod(vh, vl, gh_, gl_):
+                    p, e = two_prod(vh, gh_)
+                    return p, e + (vh * gl_ + vl * gh_)
+
+                p1 = ddprod(arh, arl, w[0], w[1])   # Ar*xr
+                p2 = ddprod(aih, ail, w[2], w[3])   # Ai*xi
+                p3 = ddprod(arh, arl, w[2], w[3])   # Ar*xi
+                p4 = ddprod(aih, ail, w[0], w[1])   # Ai*xr
+                crh, crl = dd_add_dd(p1[0], p1[1], -p2[0], -p2[1])
+                cih, cil = dd_add_dd(p3[0], p3[1], p4[0], p4[1])
+                rmw(0, crh, crl)
+                rmw(2, cih, cil)
+            zrh_ref[k * 8:(k + 1) * 8, :] = acc[0]
+            zrl_ref[k * 8:(k + 1) * 8, :] = acc[1]
+            zih_ref[k * 8:(k + 1) * 8, :] = acc[2]
+            zil_ref[k * 8:(k + 1) * 8, :] = acc[3]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "offsets", "margin_sub", "x_sub", "chunk_tiles", "interpret"))
+def _sdia_z_call(arh, arl, aih, ail, x4d, *, offsets, margin_sub,
+                 x_sub, chunk_tiles, interpret=False):
+    nd, rows8, _ = arh.shape
+    ct = chunk_tiles
+    n_tiles = rows8 // 8
+    num_chunks = n_tiles // ct
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec((nd, ct * 8, 128), lambda c: (0, c, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x4d (4, x_sub, 128)
+        ],
+        out_specs=tuple(pl.BlockSpec((ct * 8, 128), lambda c: (c, 0))
+                        for _ in range(4)),
+        scratch_shapes=[
+            pltpu.VMEM((4, x_sub, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_sdia_z_kernel, offsets=offsets,
+                          margin_sub=margin_sub, chunk_tiles=ct,
+                          interpret=interpret),
+        grid_spec=grid_spec,
+        out_shape=tuple(jax.ShapeDtypeStruct((rows8, 128), jnp.float32)
+                        for _ in range(4)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=60 * nd * n_tiles * 1024,
+            bytes_accessed=4 * arh.size * 4 + 4 * x_sub * 128 * 4
+            + 4 * rows8 * 128 * 4,
+            transcendentals=0,
+        ),
+    )(arh, arl, aih, ail, x4d)
+    return outs
+
+
+def sdia_spmv_z_pallas(a, x, alpha=1.0, beta=0.0, y=None,
+                       interpret: bool = False):
+    """Fused one-pass Z (complex128) SDIA SpMV on a
+    :class:`~spgpu_tpu.formats.cplanes.ComplexPlanes` whose planes are
+    dd :class:`SdiaMatrix`.  ``x``: ``(2, 2, n)`` [re, im] x [hi, lo]
+    stack; returns the same."""
+    ar, ai = a.ar, a.ai
+    from spgpu_tpu.ops import _complex_epilogue
+
+    if ar.n_diags == 0:
+        zz = jnp.zeros((2, 2, ar.n_rows), jnp.float32)
+        return _complex_epilogue(zz, alpha, beta, y, is_dd=True)
+    margin_sub, x_sub, ct = _sdia_geometry(ar, dd=True)
+    # the Z body unrolls ~2x the dd kernel per (tile, diag)
+    while ct > 1 and (ar.n_tiles % ct or ct * ar.n_diags > 48):
+        ct //= 2
+    pad_lo = margin_sub * 128
+    pad_hi = x_sub * 128 - pad_lo - ar.n_cols
+    planes = [jnp.pad(x[p, w], (pad_lo, pad_hi)).reshape(x_sub, 128)
+              for p in (0, 1) for w in (0, 1)]
+    x4d = jnp.stack(planes)  # xr_hi, xr_lo, xi_hi, xi_lo
+    zrh, zrl, zih, zil = _sdia_z_call(
+        ar.values, ar.values_lo, ai.values, ai.values_lo, x4d,
+        offsets=ar.offsets, margin_sub=margin_sub, x_sub=x_sub,
+        chunk_tiles=ct, interpret=interpret)
+    n = ar.n_rows
+    zz = jnp.stack([
+        jnp.stack([zrh.reshape(-1)[:n], zrl.reshape(-1)[:n]]),
+        jnp.stack([zih.reshape(-1)[:n], zil.reshape(-1)[:n]])])
+    return _complex_epilogue(zz, alpha, beta, y, is_dd=True)
+
+
 def _sdia_dd_kernel(vh_ref, vl_ref, x_hbm_ref, zh_ref, zl_ref, x_vmem,
                     xsem, *, offsets, margin_sub, chunk_tiles, interpret):
     """Double-float SDIA SpMV (D-precision parity with dia_dspmv.cu).

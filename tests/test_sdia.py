@@ -175,3 +175,30 @@ def test_complex_fused_one_pass_sdia(rng):
     err = np.linalg.norm(zf[0] + 1j * zf[1] - g) / np.linalg.norm(g)
     assert err < 2e-5, err
     np.testing.assert_allclose(zf, zp, rtol=2e-4, atol=2e-4)
+
+
+def test_z_fused_one_pass_sdia(rng):
+    """r5: the fused one-pass Z (complex128) SDIA kernel — 4 dd slabs,
+    shared per-diagonal window builds, 4 error-free products
+    (``dia_zspmv.cu`` parity) — matches the dd plane path and the host
+    golden at D precision."""
+    from spgpu_tpu.formats.coo import CooMatrix
+    from spgpu_tpu.utils.fixtures import laplacian_2d
+
+    base = laplacian_2d(40, 40, np.float64)
+    cm = CooMatrix(base.rows, base.cols,
+                   (base.values + 1j * rng.standard_normal(base.nnz))
+                   .astype(np.complex128), base.n_rows, base.n_cols)
+    a = convert.coo_to_sdia(cm)
+    assert a.is_dd
+    xc = rng.standard_normal(cm.n_cols) + 1j * rng.standard_normal(
+        cm.n_cols)
+    x = jnp.asarray(a.embed_complex(xc))
+    zf = np.asarray(ops.sdia_spmv(a, x))
+    zp = np.asarray(ops.sdia_spmv(a, x, fused=False))
+    np.testing.assert_allclose(zf[:, 0], zp[:, 0], rtol=1e-6, atol=1e-6)
+    g = cm.spmv(xc)
+    got = (zf[0, 0].astype(np.float64) + zf[0, 1]) \
+        + 1j * (zf[1, 0].astype(np.float64) + zf[1, 1])
+    err = np.linalg.norm(got - g) / np.linalg.norm(g)
+    assert err < 1e-13, err
